@@ -1,0 +1,21 @@
+"""Root conftest: make the in-repo package importable and force tests onto a
+virtual 8-device CPU mesh (SURVEY.md §4.4) before JAX initializes."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (TPU tunnel),
+# which tests must not touch — sharding tests use 8 virtual CPU devices.
+# sitecustomize (/root/.axon_site) already imported jax and registered the
+# axon plugin, so the env var alone is not enough; set it through jax.config
+# before any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
