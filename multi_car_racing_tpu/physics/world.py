@@ -1,0 +1,113 @@
+"""World step: velocity integration + constraint solve + position integration.
+
+Pure-functional equivalent of ``world.Step(1/50, 180, 60)`` (mcr:428) for the
+fixed topology this game exercises: per car one hull + four wheels joined by
+revolute joints (solved in joints.py), car-car polygon contacts (collide.py),
+and *no* collision response with track tiles (they are sensors). Gravity is
+zero (mcr:138); body damping is zero (Box2D defaults).
+
+Box2D's b2Island order is preserved:
+  1. v += dt * invM * F (tire forces on wheels only; hulls receive none)
+  2. contact init/warm-start, joint init/warm-start
+  3. velocity iterations: joints (Gauss-Seidel per car), then contacts
+  4. position integration with maxTranslation/maxRotation clamps
+  5. position iterations: contacts, then joints
+(Box2D's early exit when position errors drop below slop is replaced by a
+fixed iteration count — past convergence the extra iterations only polish
+sub-slop error; see tests/test_physics_parity.py tolerance bands.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import config as C
+from . import joints, shapes
+from .state import CarState
+from .joints import Velocities, Positions
+
+
+def world_step(
+    state: CarState,
+    wheel_force: jnp.ndarray,     # (N, 4, 2) from the tire model
+    motor_speed: jnp.ndarray,     # (N, 4) steering servo speeds
+    dt: float = C.DT,
+    velocity_iters: int = C.VELOCITY_ITERS,
+    position_iters: int = C.POSITION_ITERS,
+    contacts=None,                # optional collide.ContactBundle (car-car)
+) -> CarState:
+    from . import collide  # local import to avoid cycle
+
+    # --- 1. integrate velocities (forces only on wheels).
+    vel = Velocities(
+        hull_v=state.hull_v,
+        hull_w=state.hull_w,
+        wheel_v=state.wheel_v + dt * shapes.WHEEL_INV_MASS * wheel_force,
+        wheel_w=state.wheel_w,
+    )
+
+    # --- 2. init + warm start (contacts first, then joints — b2Island order).
+    if contacts is not None:
+        vel, contacts = collide.init_velocity_and_warm_start(vel, contacts)
+    state, jdata = joints.init_constraints(state, motor_speed)
+    vel = joints.warm_start(vel, jdata, state)
+
+    # --- 3. velocity iterations.
+    def vel_iter(_, carry):
+        vel, state, contacts = carry
+        vel, state = joints.solve_velocity(vel, jdata, state, dt)
+        if contacts is not None:
+            vel, contacts = collide.solve_velocity(vel, contacts)
+        return (vel, state, contacts)
+
+    vel, state, contacts = jax.lax.fori_loop(
+        0, velocity_iters, vel_iter, (vel, state, contacts)
+    )
+
+    # --- 4. integrate positions with Box2D's translation/rotation clamps.
+    def clamp_v(v, w):
+        tr = dt * v
+        tr2 = jnp.sum(tr * tr, axis=-1)
+        scale_t = jnp.where(
+            tr2 > C.B2_MAX_TRANSLATION**2,
+            C.B2_MAX_TRANSLATION / jnp.sqrt(jnp.maximum(tr2, 1e-30)),
+            1.0,
+        )
+        rot = dt * w
+        scale_r = jnp.where(
+            rot * rot > C.B2_MAX_ROTATION**2,
+            C.B2_MAX_ROTATION / jnp.maximum(jnp.abs(rot), 1e-30),
+            1.0,
+        )
+        return v * scale_t[..., None], w * scale_r
+
+    hv, hw = clamp_v(vel.hull_v, vel.hull_w)
+    wv, ww = clamp_v(vel.wheel_v, vel.wheel_w)
+    pos = Positions(
+        hull_c=state.hull_c + dt * hv,
+        hull_a=state.hull_a + dt * hw,
+        wheel_c=state.wheel_c + dt * wv,
+        wheel_a=state.wheel_a + dt * ww,
+    )
+
+    # --- 5. position iterations (contacts then joints, like b2Island).
+    def pos_iter(_, pos):
+        if contacts is not None:
+            posx = collide.solve_position(pos, contacts)
+        else:
+            posx = pos
+        return joints.solve_position(posx, jdata)
+
+    pos = jax.lax.fori_loop(0, position_iters, pos_iter, pos)
+
+    return state.replace(
+        hull_c=pos.hull_c,
+        hull_a=pos.hull_a,
+        hull_v=hv,
+        hull_w=hw,
+        wheel_c=pos.wheel_c,
+        wheel_a=pos.wheel_a,
+        wheel_v=wv,
+        wheel_w=ww,
+    )
