@@ -1,0 +1,252 @@
+"""Environment core: EnvState pytree + pure reset/step functions.
+
+Functional equivalent of ``MultiCarRacing`` (mcr:125-509): everything the
+reference does through mutable Python objects and Box2D callbacks is a
+fixed-shape state transition here, batchable over thousands of envs with
+``vmap`` and compiled end-to-end with ``jit``.
+
+Step order preserves the reference's (mcr:410-509 + Box2D internals):
+  1. apply controls (steer/gas/brake setters)
+  2. tire forces from *lagged* tile contacts (Box2D collides at the start of
+     world.Step, so friction sees the previous step's overlap)
+  3. contact pass on current positions: tile-visit rewards (the
+     FrictionDetector logic, mcr:80-123), friction mask for the next step,
+     render color flattening
+  4. constraint solve + integration (world_step)
+  5. post-step analysis: -0.1 step cost, backward/on-grass flags,
+     all-tiles-visited / off-playfield termination (mcr:433-508)
+
+Simultaneous first-visits of one tile by several cars are tie-broken by
+car id (lowest id counts as the earlier visitor). The reference inherits
+Box2D's contact-manager processing order here, which varies by seed
+(SURVEY.md §7 hard part 5); this deterministic rule is the documented
+divergence, exercised mainly for the two spawn tiles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as Cfg
+from . import config as C
+from .struct import pytree_dataclass
+from .track.common import Track, pack_track, spawn_poses
+from .physics import overlap, tire, world
+from .physics.state import CarState, apply_controls, create_cars
+
+
+@pytree_dataclass
+class EnvState:
+    cars: CarState
+    track: Track
+    wheel_on_road: jnp.ndarray     # (N, 4) bool — lagged tile contact per wheel
+    visited: jnp.ndarray           # (N, MT) bool — per-car visited tiles
+    tile_touched: jnp.ndarray      # (MT,) bool — any-fixture contact (render)
+    reward: jnp.ndarray            # (N,) cumulative score (mcr:145)
+    prev_reward: jnp.ndarray       # (N,)
+    tile_visited_count: jnp.ndarray  # (N,) int32
+    driving_backward: jnp.ndarray  # (N,) bool
+    driving_on_grass: jnp.ndarray  # (N,) bool
+    direction_cw: jnp.ndarray      # () bool — episode direction is CW
+    t: jnp.ndarray                 # () f32 sim time
+    steps: jnp.ndarray             # () int32 steps since reset
+    done: jnp.ndarray              # () bool
+
+
+def _episode_start(cars: CarState, track: Track, direction_cw, num_agents: int) -> EnvState:
+    mt = track.max_tiles
+    f32 = track.xy.dtype
+    return EnvState(
+        cars=cars,
+        track=track,
+        wheel_on_road=jnp.zeros((num_agents, 4), bool),
+        visited=jnp.zeros((num_agents, mt), bool),
+        tile_touched=jnp.zeros((mt,), bool),
+        reward=jnp.zeros((num_agents,), f32),
+        prev_reward=jnp.zeros((num_agents,), f32),
+        tile_visited_count=jnp.zeros((num_agents,), jnp.int32),
+        driving_backward=jnp.zeros((num_agents,), bool),
+        driving_on_grass=jnp.zeros((num_agents,), bool),
+        direction_cw=jnp.asarray(direction_cw, bool),
+        t=jnp.asarray(0.0, f32),
+        steps=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False, bool),
+    )
+
+
+def _contact_pass(state: EnvState):
+    """The Collide() equivalent: SAT overlap of all car fixtures against all
+    tile quads; returns (wheel_on_road (N,4), car_tile (N,MT), any_fixture_tile
+    (MT,))."""
+    fv, fn = overlap.car_fixture_world_geometry(state.cars)
+    ov = overlap.fixtures_vs_quads(fv, fn, state.track.quad)   # (N, 8, MT)
+    wheel_ov = ov[:, 4:8]                                      # (N, 4, MT)
+    wheel_on_road = wheel_ov.any(-1)
+    car_tile = wheel_ov.any(1)                                 # (N, MT)
+    touched = ov.any((0, 1))                                   # (MT,)
+    return wheel_on_road, car_tile, touched
+
+
+def _visit_rewards(state: EnvState, car_tile: jnp.ndarray, num_agents: int):
+    """FrictionDetector begin-contact bookkeeping (mcr:110-120), batched.
+
+    reward += (1 - past_visitors / num_agents) * 1000 / len(track)
+    for each first visit, with car-id ordering for same-step ties.
+    """
+    new = car_tile & ~state.visited & state.track.valid[None, :]   # (N, MT)
+    prev_count = jnp.sum(state.visited, axis=0)                    # (MT,)
+    rank = jnp.cumsum(new, axis=0) - new.astype(jnp.int32)         # exclusive, (N, MT)
+    past = prev_count[None, :] + rank
+    factor = 1.0 - past.astype(state.reward.dtype) / num_agents
+    tile_bonus = 1000.0 / state.track.n_tiles.astype(state.reward.dtype)
+    reward = state.reward + jnp.sum(new * factor, axis=1) * tile_bonus
+    visited = state.visited | new
+    count = state.tile_visited_count + jnp.sum(new, axis=1, dtype=jnp.int32)
+    return state.replace(reward=reward, visited=visited, tile_visited_count=count)
+
+
+def _physics_and_contacts(state: EnvState, num_agents: int,
+                          velocity_iters: int, position_iters: int):
+    """Stages 2-4: tire forces (lagged mask), contact pass + rewards, solve."""
+    cars, force, motor, _skid = tire.tire_step(state.cars, state.wheel_on_road)
+    state = state.replace(cars=cars)
+
+    wheel_on_road, car_tile, touched = _contact_pass(state)
+    state = _visit_rewards(state, car_tile, num_agents)
+    state = state.replace(
+        wheel_on_road=wheel_on_road,
+        tile_touched=state.tile_touched | touched,
+    )
+
+    cars = world.world_step(
+        state.cars, force, motor,
+        velocity_iters=velocity_iters, position_iters=position_iters,
+    )
+    return state.replace(
+        cars=cars,
+        t=state.t + C.DT,
+        steps=state.steps + 1,
+    )
+
+
+def _post_step(state: EnvState, cfg: Cfg.EnvConfig):
+    """Stage 5 (mcr:433-508): step cost, backward/grass flags, termination."""
+    n = cfg.num_agents
+    f32 = state.reward.dtype
+    reward = state.reward - 0.1
+    step_reward = reward - state.prev_reward
+
+    # --- per-car backward / on-grass analysis (mcr:446-495).
+    vel = state.cars.hull_v
+    speed = jnp.linalg.norm(vel, axis=-1)
+    car_angle = jnp.where(
+        speed > 0.5, -jnp.arctan2(vel[:, 0], vel[:, 1]), state.cars.hull_a
+    )
+    car_angle = jnp.mod(car_angle + 2 * jnp.pi, 2 * jnp.pi)
+
+    origin = state.cars.hull_origin                               # (N, 2)
+    d2 = jnp.sum(
+        jnp.square(origin[:, None, :] - state.track.xy[None, :, :]), axis=-1
+    )
+    d2 = jnp.where(state.track.valid[None, :], d2, jnp.inf)
+    nearest = jnp.argmin(d2, axis=1)                              # (N,)
+
+    in_road = overlap.point_in_quads(origin, state.track.quad)    # (N, MT)
+    in_curb = overlap.point_in_quads(origin, state.track.curb_quad)
+    on_grass = ~(in_road.any(-1) | in_curb.any(-1))
+
+    desired = state.track.beta[nearest] + jnp.where(
+        state.direction_cw, jnp.pi, 0.0
+    ).astype(f32)
+    desired = jnp.mod(desired + 2 * jnp.pi, 2 * jnp.pi)
+    diff = jnp.abs(desired - car_angle)
+    diff = jnp.where(diff > jnp.pi, jnp.abs(diff - 2 * jnp.pi), diff)
+    backward = diff > C.BACKWARD_THRESHOLD
+    step_reward = step_reward - jnp.where(backward, C.K_BACKWARD * diff, 0.0)
+
+    # --- termination (mcr:498-507).
+    finished = jnp.any(state.tile_visited_count == state.track.n_tiles)
+    off = (jnp.abs(origin[:, 0]) > C.PLAYFIELD) | (jnp.abs(origin[:, 1]) > C.PLAYFIELD)
+    step_reward = jnp.where(off, jnp.asarray(-100.0, f32), step_reward)
+    done = finished | jnp.any(off)
+
+    state = state.replace(
+        reward=reward,
+        prev_reward=reward,
+        driving_backward=backward,
+        driving_on_grass=on_grass,
+        done=done,
+    )
+    return state, step_reward, done
+
+
+def reset_from_parts(
+    cfg: Cfg.EnvConfig,
+    track: Track,
+    car_order: jnp.ndarray,      # (N,) int32
+    direction_cw,
+) -> EnvState:
+    """Build the post-reset state: spawn cars on the grid, then run the
+    reference's ``step(None)`` — one physics tick with no controls, during
+    which spawn-tile visits pay their bonuses (mcr:408, measured in SURVEY.md
+    §2.5)."""
+    n = cfg.num_agents
+    # Spawn pose math (device version of track.common.spawn_poses).
+    order = jnp.asarray(car_order, jnp.int32)
+    line = order // 2
+    side = (2 * (order % 2) - 1).astype(track.xy.dtype)
+    idx = jnp.mod(-line * C.LINE_SPACING, track.n_tiles)
+    angle = track.beta[idx] + jnp.where(direction_cw, -jnp.pi, 0.0).astype(track.xy.dtype)
+    norm_theta = angle - jnp.pi / 2
+    pos = track.xy[idx] + C.LATERAL_SPACING * jnp.stack(
+        [jnp.sin(norm_theta) * side, jnp.cos(norm_theta) * side], axis=-1
+    )
+    cars = create_cars(pos, angle)
+    state = _episode_start(cars, track, direction_cw, n)
+    # step(None): physics + contacts only — no action, no reward stage.
+    return _physics_and_contacts(
+        state, n, cfg.velocity_iters, cfg.position_iters
+    )
+
+
+def step(cfg: Cfg.EnvConfig, state: EnvState, action: jnp.ndarray):
+    """One env step. ``action`` is (N, 3): (steer, gas, brake) per car.
+
+    Returns (state', step_reward (N,), done ()). Observations are produced
+    separately (see obs.py / render) so physics-only rollouts pay nothing.
+    """
+    cars = apply_controls(state.cars, jnp.asarray(action, state.reward.dtype))
+    state = state.replace(cars=cars)
+    state = _physics_and_contacts(
+        state, cfg.num_agents, cfg.velocity_iters, cfg.position_iters
+    )
+    return _post_step(state, cfg)
+
+
+def host_reset(cfg: Cfg.EnvConfig, seed=None, global_stream=None, np_rng=None):
+    """Host-path reset: bit-parity MT19937 track generation + the reference's
+    global-stream episode draws, then the device-side spawn tick.
+
+    Returns (EnvState, info dict with the raw track for tooling)."""
+    from . import seeding
+    from .track import host as track_host
+
+    if np_rng is None:
+        np_rng, _ = seeding.np_random(seed)
+    if global_stream is None:
+        global_stream = seeding.GlobalStream()
+
+    if cfg.use_random_direction:
+        direction = global_stream.direction()
+    else:
+        direction = cfg.direction
+    order = global_stream.car_order(cfg.num_agents)
+
+    pts, border, retries = track_host.generate_track(np_rng)
+    track = pack_track(pts, border, max_tiles=cfg.max_tiles)
+    state = reset_from_parts(cfg, track, jnp.asarray(order), direction == "CW")
+    return state, {"n_tiles": len(pts), "retries": retries, "direction": direction}
