@@ -1,0 +1,110 @@
+"""Benchmark: env-steps/s/chip at 4096 parallel 2-agent envs (BASELINE.json
+north-star config 4). Prints ONE JSON line.
+
+Baseline: the reference measures ~544 env-steps/s for the same 2-agent
+no-render config on one CPU core (BASELINE.md). ``vs_baseline`` is our
+throughput divided by that.
+
+Run on the ambient JAX platform (TPU under axon; CPU if forced). Physics-only
+stepping (obs_type='none'): identical work to the reference's no-render row.
+Set MCR_BENCH_PIXELS=1 to include the 96x96x3 observation rasterizer once the
+pixel path lands.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from multi_car_racing_tpu import config as C, env as tenv, seeding
+
+    E = int(os.environ.get("MCR_BENCH_ENVS", 4096))
+    T = int(os.environ.get("MCR_BENCH_STEPS", 100))
+    N_TRACKS = int(os.environ.get("MCR_BENCH_TRACKS", 16))
+    cfg = C.EnvConfig(num_agents=2)
+
+    # Host-generate a small set of distinct tracks and tile the batch from
+    # them (physics cost is track-independent; this keeps bench startup
+    # seconds, not minutes).
+    states = []
+    for seed in range(N_TRACKS):
+        s, _ = tenv.host_reset(cfg, seed=seed, global_stream=seeding.GlobalStream(seed))
+        states.append(s)
+    batched = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *states
+    )
+    reps = E // N_TRACKS
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.tile(x, (reps,) + (1,) * (x.ndim - 1)), batched
+    )
+
+    step = jax.vmap(partial(tenv.step, cfg))
+
+    rng = np.random.RandomState(0)
+    actions = jnp.asarray(
+        np.stack(
+            [
+                np.stack(
+                    [
+                        rng.uniform([-1, 0, 0], [1, 1, 0.2], size=(2, 3))
+                        for _ in range(E)
+                    ]
+                )
+                for _ in range(8)
+            ]
+        ),
+        jnp.float32,
+    )  # (8, E, 2, 3) — cycled
+
+    @jax.jit
+    def rollout(state):
+        def body(carry, t):
+            state = carry
+            a = actions[t % 8]
+            state, r, d = step(state, a)
+            return state, r.mean()
+
+        state, rews = jax.lax.scan(body, state, jnp.arange(T))
+        return state, rews
+
+    # Warmup/compile.
+    t0 = time.time()
+    out_state, rews = rollout(batched)
+    jax.block_until_ready(rews)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    out_state, rews = rollout(out_state)
+    jax.block_until_ready(rews)
+    elapsed = time.time() - t0
+
+    steps_per_sec = E * T / elapsed
+    baseline = 544.0  # reference, 2 agents, no render (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec_per_chip_4096x2agents",
+                "value": round(steps_per_sec, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(steps_per_sec / baseline, 2),
+            }
+        )
+    )
+    if os.environ.get("MCR_BENCH_VERBOSE"):
+        print(
+            f"# E={E} T={T} elapsed={elapsed:.3f}s compile+first={compile_s:.1f}s "
+            f"platform={jax.devices()[0].platform} mean_r={float(rews.mean()):.4f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

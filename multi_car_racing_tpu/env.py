@@ -78,16 +78,29 @@ def _episode_start(cars: CarState, track: Track, direction_cw, num_agents: int) 
     )
 
 
-def _contact_pass(state: EnvState):
-    """The Collide() equivalent: SAT overlap of all car fixtures against all
-    tile quads; returns (wheel_on_road (N,4), car_tile (N,MT), any_fixture_tile
-    (MT,))."""
-    fv, fn = overlap.car_fixture_world_geometry(state.cars)
-    ov = overlap.fixtures_vs_quads(fv, fn, state.track.quad)   # (N, 8, MT)
-    wheel_ov = ov[:, 4:8]                                      # (N, 4, MT)
+def _contact_pass(state: EnvState, exact_hull_touch: bool = False):
+    """The Collide() equivalent; returns (wheel_on_road (N,4), car_tile
+    (N,MT), touched (MT,)).
+
+    Wheel-tile overlap (what drives friction and rewards) is the exact SAT
+    test, dense over padded tiles in tiles-last layout (overlap.py). The
+    render-only "touched" flag additionally includes hull-tile contact; by
+    default the hull contribution is approximated by the hull *center* being
+    inside a tile (a grazing hull corner can miss — affects only the 0.01
+    color dither of that tile). ``exact_hull_touch`` switches to the full
+    8-fixture SAT for golden-image comparisons."""
+    wheel_ov = overlap.wheel_tile_overlap(state.cars, state.track)   # (N,4,MT)
     wheel_on_road = wheel_ov.any(-1)
-    car_tile = wheel_ov.any(1)                                 # (N, MT)
-    touched = ov.any((0, 1))                                   # (MT,)
+    car_tile = wheel_ov.any(1)                                       # (N, MT)
+    if exact_hull_touch:
+        fv, fn = overlap.car_fixture_world_geometry(state.cars)
+        hull_ov = overlap.fixtures_vs_quads(fv, fn, state.track.quad)[:, 0:4]
+        touched = (car_tile | hull_ov.any(1)).any(0)
+    else:
+        hull_in = overlap.point_in_quads_T(
+            state.cars.hull_origin, state.track.quad_T
+        )
+        touched = (car_tile | hull_in).any(0)
     return wheel_on_road, car_tile, touched
 
 
@@ -110,12 +123,13 @@ def _visit_rewards(state: EnvState, car_tile: jnp.ndarray, num_agents: int):
 
 
 def _physics_and_contacts(state: EnvState, num_agents: int,
-                          velocity_iters: int, position_iters: int):
+                          velocity_iters: int, position_iters: int,
+                          exact_hull_touch: bool = False):
     """Stages 2-4: tire forces (lagged mask), contact pass + rewards, solve."""
     cars, force, motor, _skid = tire.tire_step(state.cars, state.wheel_on_road)
     state = state.replace(cars=cars)
 
-    wheel_on_road, car_tile, touched = _contact_pass(state)
+    wheel_on_road, car_tile, touched = _contact_pass(state, exact_hull_touch)
     state = _visit_rewards(state, car_tile, num_agents)
     state = state.replace(
         wheel_on_road=wheel_on_road,
@@ -154,12 +168,13 @@ def _post_step(state: EnvState, cfg: Cfg.EnvConfig):
     )
     d2 = jnp.where(state.track.valid[None, :], d2, jnp.inf)
     nearest = jnp.argmin(d2, axis=1)                              # (N,)
-
-    in_road = overlap.point_in_quads(origin, state.track.quad)    # (N, MT)
-    in_curb = overlap.point_in_quads(origin, state.track.curb_quad)
+    in_road = overlap.point_in_quads_T(origin, state.track.quad_T)   # (N, MT)
+    in_curb = overlap.point_in_quads_T(origin, state.track.curb_quad_T)
     on_grass = ~(in_road.any(-1) | in_curb.any(-1))
 
-    desired = state.track.beta[nearest] + jnp.where(
+    onehot = jnp.arange(state.track.max_tiles)[None, :] == nearest[:, None]
+    nearest_beta = jnp.sum(jnp.where(onehot, state.track.beta[None, :], 0.0), axis=1)
+    desired = nearest_beta + jnp.where(
         state.direction_cw, jnp.pi, 0.0
     ).astype(f32)
     desired = jnp.mod(desired + 2 * jnp.pi, 2 * jnp.pi)
@@ -209,7 +224,7 @@ def reset_from_parts(
     state = _episode_start(cars, track, direction_cw, n)
     # step(None): physics + contacts only — no action, no reward stage.
     return _physics_and_contacts(
-        state, n, cfg.velocity_iters, cfg.position_iters
+        state, n, cfg.velocity_iters, cfg.position_iters, cfg.exact_hull_touch
     )
 
 
@@ -222,7 +237,8 @@ def step(cfg: Cfg.EnvConfig, state: EnvState, action: jnp.ndarray):
     cars = apply_controls(state.cars, jnp.asarray(action, state.reward.dtype))
     state = state.replace(cars=cars)
     state = _physics_and_contacts(
-        state, cfg.num_agents, cfg.velocity_iters, cfg.position_iters
+        state, cfg.num_agents, cfg.velocity_iters, cfg.position_iters,
+        cfg.exact_hull_touch,
     )
     return _post_step(state, cfg)
 

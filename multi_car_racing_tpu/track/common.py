@@ -33,7 +33,15 @@ class Track:
     color0: jnp.ndarray         # (MT, 3) f32 — initial color with 0.01*(i%3) dither
     has_curb: jnp.ndarray       # (MT,) bool — red/white curb present (mcr:328)
     curb_quad: jnp.ndarray      # (MT, 4, 2) f32
-    curb_red: jnp.ndarray      # (MT,) bool — red if i%2 else white (mcr:334)
+    curb_red: jnp.ndarray       # (MT,) bool — red if i%2 else white (mcr:334)
+    # Tiles-last ("structure-of-arrays") layouts for the hot contact pass:
+    # the tile dimension must be the minor (lane) axis on TPU or the VPU runs
+    # at a few percent occupancy (see physics/overlap.py).
+    quad_T: jnp.ndarray         # (4, 2, MT) — road quad verts, tiles last
+    quad_ax_T: jnp.ndarray      # (4, 2, MT) — unit edge normals, tiles last
+    quad_lo: jnp.ndarray        # (4, MT) — own-axis interval lo (precomputed)
+    quad_hi: jnp.ndarray        # (4, MT) — own-axis interval hi
+    curb_quad_T: jnp.ndarray    # (4, 2, MT) — curb quad verts, tiles last
 
     @property
     def max_tiles(self) -> int:
@@ -112,6 +120,18 @@ def pack_track(
     has_curb = np.zeros(MT, dtype=bool)
     has_curb[:T] = border
 
+    # Tiles-last layouts + per-tile SAT precomputation. Degenerate padding
+    # quads get zero-length edges; their normals are replaced by a dummy unit
+    # axis, and since the verts are at _PAD_FAR every interval test misses.
+    quad_T = np.transpose(quad_p, (1, 2, 0))                  # (4, 2, MT)
+    edges = np.roll(quad_p, -1, axis=1) - quad_p              # (MT, 4, 2)
+    nrm = np.stack([edges[..., 1], -edges[..., 0]], axis=-1)
+    ln = np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = np.where(ln > 1e-12, nrm / np.maximum(ln, 1e-12), np.asarray([1.0, 0.0]))
+    proj = np.einsum("tac,tvc->tav", nrm, quad_p)             # (MT, 4ax, 4v)
+    quad_lo = proj.min(-1)
+    quad_hi = proj.max(-1)
+
     return Track(
         n_tiles=jnp.asarray(T, dtype=jnp.int32),
         valid=jnp.asarray(valid),
@@ -122,6 +142,11 @@ def pack_track(
         has_curb=jnp.asarray(has_curb),
         curb_quad=jnp.asarray(curb_quad_p, dtype=dtype),
         curb_red=jnp.asarray(np.pad(curb_red, (0, pad))),
+        quad_T=jnp.asarray(quad_T, dtype=dtype),
+        quad_ax_T=jnp.asarray(np.transpose(nrm, (1, 2, 0)), dtype=dtype),
+        quad_lo=jnp.asarray(np.transpose(quad_lo), dtype=dtype),
+        quad_hi=jnp.asarray(np.transpose(quad_hi), dtype=dtype),
+        curb_quad_T=jnp.asarray(np.transpose(curb_quad_p, (1, 2, 0)), dtype=dtype),
     )
 
 
