@@ -187,7 +187,10 @@ def _post_step(state: EnvState, cfg: Cfg.EnvConfig):
     finished = jnp.any(state.tile_visited_count == state.track.n_tiles)
     off = (jnp.abs(origin[:, 0]) > C.PLAYFIELD) | (jnp.abs(origin[:, 1]) > C.PLAYFIELD)
     step_reward = jnp.where(off, jnp.asarray(-100.0, f32), step_reward)
-    done = finished | jnp.any(off)
+    # Sticky across steps: the reference episode is over at the first done —
+    # batched mode keeps stepping until the autoreset pass, and a car that
+    # drifts back on-field must not resurrect the episode.
+    done = state.done | finished | jnp.any(off)
 
     state = state.replace(
         reward=reward,
@@ -241,6 +244,64 @@ def step(cfg: Cfg.EnvConfig, state: EnvState, action: jnp.ndarray):
         cfg.exact_hull_touch,
     )
     return _post_step(state, cfg)
+
+
+def device_reset(cfg: Cfg.EnvConfig, key) -> EnvState:
+    """Fully on-device reset: threefry track generation + episode params +
+    spawn tick. Statistically equivalent to the reference; use host_reset for
+    bit-parity harnesses."""
+    from .track import device as tdev
+
+    kt, ke = jax.random.split(key)
+    track, _ok = tdev.generate_track(
+        kt, cfg.max_tiles, cfg.max_track_points, cfg.max_track_retries
+    )
+    direction_cw, order = tdev.episode_params(ke, cfg)
+    return reset_from_parts(cfg, track, order, direction_cw)
+
+
+def make_track_pool(cfg: Cfg.EnvConfig, key, pool_size: int):
+    """Generate a stacked pool of tracks on device (for cheap batched
+    autoreset: drawing from the pool replaces per-step regeneration, whose
+    cost under jit would be paid by every env every step)."""
+    from .track import device as tdev
+
+    keys = jax.random.split(key, pool_size)
+    tracks, oks = jax.vmap(
+        lambda k: tdev.generate_track(
+            k, cfg.max_tiles, cfg.max_track_points, cfg.max_track_retries
+        )
+    )(keys)
+    return tracks, oks
+
+
+def reset_done_envs(cfg: Cfg.EnvConfig, state, pool, key):
+    """Replace done (or time-limited) envs in a batched EnvState with fresh
+    episodes drawn from the track pool. Call between rollout chunks — done
+    envs keep stepping harmlessly inside a chunk, exactly like the raw
+    reference env does after completion.
+
+    state: EnvState batched over E. pool: stacked Track (P, ...).
+    """
+    from .track import device as tdev
+
+    E = state.reward.shape[0]
+    pool_size = jax.tree_util.tree_leaves(pool)[0].shape[0]
+    k_idx, k_ep = jax.random.split(key)
+    idx = jax.random.randint(k_idx, (E,), 0, pool_size)
+    tracks = jax.tree_util.tree_map(lambda x: x[idx], pool)
+    ep_keys = jax.random.split(k_ep, E)
+    dirs, orders = jax.vmap(lambda k: tdev.episode_params(k, cfg))(ep_keys)
+    fresh = jax.vmap(lambda t, o, d: reset_from_parts(cfg, t, o, d))(
+        tracks, orders, dirs
+    )
+    needs = state.done | (state.steps >= cfg.max_episode_steps)
+
+    def sel(new, old):
+        mask = needs.reshape((E,) + (1,) * (new.ndim - 1))
+        return jnp.where(mask, new, old)
+
+    return jax.tree_util.tree_map(sel, fresh, state)
 
 
 def host_reset(cfg: Cfg.EnvConfig, seed=None, global_stream=None, np_rng=None):

@@ -1,0 +1,233 @@
+"""PPO learner over batched envs (BASELINE.json config 5).
+
+The whole training step — T-step rollout (lax.scan over the env), pool-based
+autoreset, GAE, and K epochs of minibatched clipped-surrogate updates — is one
+jitted function over a ``TrainState`` pytree. Multi-chip data parallelism is
+pure GSPMD: shard the env batch over the mesh's 'data' axis and replicate
+params (parallel/mesh.py); XLA inserts the gradient all-reduce in backward.
+No reference counterpart (the reference ships no learner); the env-facing
+contract it exercises is exactly the public step/reset API.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import config as Cfg
+from .. import env as tenv
+from .. import obs as tobs
+from ..struct import pytree_dataclass
+from .networks import ActorCritic
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    rollout_len: int = 64
+    num_envs: int = 256
+    pool_size: int = 32
+    lr: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    epochs: int = 4
+    minibatches: int = 8
+    vf_coef: float = 0.5
+    ent_coef: float = 0.0
+    max_grad_norm: float = 0.5
+    obs_type: str = "state"       # 'state' | 'pixels'
+
+
+@pytree_dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    env_state: Any                # batched EnvState (E, ...)
+    pool: Any                     # stacked Track (P, ...)
+    key: jnp.ndarray
+    update_i: jnp.ndarray         # () int32
+
+
+def _observe(env_cfg, ppo_cfg, env_state):
+    if ppo_cfg.obs_type == "state":
+        return jax.vmap(tobs.state_observation)(env_state)       # (E, N, D)
+    from ..render import raster
+
+    return jax.vmap(partial(raster.render_observation, env_cfg))(env_state)
+
+
+def init_train_state(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, key) -> TrainState:
+    net = ActorCritic(obs_type=ppo_cfg.obs_type)
+    k_pool, k_env, k_par, key = jax.random.split(key, 4)
+    pool, _ = tenv.make_track_pool(env_cfg, k_pool, ppo_cfg.pool_size)
+    env_keys = jax.random.split(k_env, ppo_cfg.num_envs)
+    env_state = jax.vmap(lambda k: tenv.device_reset(env_cfg, k))(env_keys)
+    dummy_obs = _observe(env_cfg, ppo_cfg, env_state)
+    params = net.init(k_par, dummy_obs)
+    tx = optimizer(ppo_cfg)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        env_state=env_state,
+        pool=pool,
+        key=key,
+        update_i=jnp.asarray(0, jnp.int32),
+    )
+
+
+def optimizer(ppo_cfg: PPOConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
+        optax.adam(ppo_cfg.lr),
+    )
+
+
+def _logp_gauss(mean, log_std, a):
+    var = jnp.exp(2 * log_std)
+    return jnp.sum(
+        -0.5 * jnp.square(a - mean) / var - log_std - 0.5 * jnp.log(2 * jnp.pi),
+        axis=-1,
+    )
+
+
+def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
+    """Returns train_step(ts) -> (ts, metrics); jit (and shard) at call site."""
+    net = ActorCritic(obs_type=ppo_cfg.obs_type)
+    tx = optimizer(ppo_cfg)
+    env_step = jax.vmap(partial(tenv.step, env_cfg))
+    T, E, N = ppo_cfg.rollout_len, ppo_cfg.num_envs, env_cfg.num_agents
+
+    def policy(params, obs, key):
+        mean, log_std, value = net.apply(params, obs)
+        a = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
+        logp = _logp_gauss(mean, log_std, a)
+        a_env = jnp.stack(
+            [jnp.clip(a[..., 0], -1, 1), jnp.clip(a[..., 1], 0, 1),
+             jnp.clip(a[..., 2], 0, 1)],
+            axis=-1,
+        )
+        return a, a_env, logp, value
+
+    def train_step(ts: TrainState):
+        key = ts.key
+        key, k_roll, k_reset, k_perm = jax.random.split(key, 4)
+
+        def rollout_body(carry, _):
+            env_state, key = carry
+            key, k_act = jax.random.split(key)
+            obs = _observe(env_cfg, ppo_cfg, env_state)          # (E, N, ...)
+            a, a_env, logp, value = policy(ts.params, obs, k_act)
+            env_state, r, done = env_step(env_state, a_env)
+            trans = dict(
+                obs=obs, action=a, logp=logp, value=value, reward=r,
+                done=jnp.broadcast_to(done[:, None], (E, N)),
+            )
+            return (env_state, key), trans
+
+        (env_state, _), traj = jax.lax.scan(
+            rollout_body, (ts.env_state, k_roll), None, length=T
+        )
+
+        # Bootstrap + GAE (masked at dones).
+        last_obs = _observe(env_cfg, ppo_cfg, env_state)
+        _, _, last_value = net.apply(ts.params, last_obs)        # (E, N)
+
+        def gae_body(carry, x):
+            adv_next, v_next = carry
+            r, v, d = x
+            nonterm = 1.0 - d.astype(jnp.float32)
+            delta = r + ppo_cfg.gamma * v_next * nonterm - v
+            adv = delta + ppo_cfg.gamma * ppo_cfg.gae_lambda * nonterm * adv_next
+            return (adv, v), adv
+
+        (_, _), advs = jax.lax.scan(
+            gae_body,
+            (jnp.zeros_like(last_value), last_value),
+            (traj["reward"], traj["value"], traj["done"]),
+            reverse=True,
+        )
+        returns = advs + traj["value"]
+
+        # Flatten (T, E, N) -> (B,).
+        def flat(x):
+            return x.reshape((T * E * N,) + x.shape[3:])
+
+        batch = dict(
+            obs=flat(traj["obs"]), action=flat(traj["action"]),
+            logp=flat(traj["logp"]), value=flat(traj["value"]),
+            adv=flat(advs), ret=flat(returns),
+        )
+        B = T * E * N
+        mb = B // ppo_cfg.minibatches
+
+        def loss_fn(params, mbatch):
+            mean, log_std, value = net.apply(params, mbatch["obs"])
+            logp = _logp_gauss(mean, log_std, mbatch["action"])
+            ratio = jnp.exp(logp - mbatch["logp"])
+            adv = mbatch["adv"]
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+            pg = -jnp.minimum(
+                ratio * adv,
+                jnp.clip(ratio, 1 - ppo_cfg.clip_eps, 1 + ppo_cfg.clip_eps) * adv,
+            ).mean()
+            v_clip = mbatch["value"] + jnp.clip(
+                value - mbatch["value"], -ppo_cfg.clip_eps, ppo_cfg.clip_eps
+            )
+            v_loss = 0.5 * jnp.maximum(
+                jnp.square(value - mbatch["ret"]),
+                jnp.square(v_clip - mbatch["ret"]),
+            ).mean()
+            ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1).mean()
+            loss = pg + ppo_cfg.vf_coef * v_loss - ppo_cfg.ent_coef * ent
+            return loss, (pg, v_loss, jnp.abs(ratio - 1).mean())
+
+        def epoch_body(carry, k_ep):
+            params, opt_state = carry
+            perm = jax.random.permutation(k_ep, B)
+
+            def mb_body(carry, mb_i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, mb_i * mb, mb)
+                mbatch = {k: v[idx] for k, v in batch.items()}
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, mbatch
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, *aux)
+
+            (params, opt_state), stats = jax.lax.scan(
+                mb_body, (params, opt_state), jnp.arange(ppo_cfg.minibatches)
+            )
+            return (params, opt_state), stats
+
+        ep_keys = jax.random.split(k_perm, ppo_cfg.epochs)
+        (params, opt_state), stats = jax.lax.scan(
+            epoch_body, (ts.params, ts.opt_state), ep_keys
+        )
+
+        env_state = tenv.reset_done_envs(env_cfg, env_state, ts.pool, k_reset)
+
+        metrics = dict(
+            loss=stats[0].mean(),
+            pg_loss=stats[1].mean(),
+            v_loss=stats[2].mean(),
+            ratio_dev=stats[3].mean(),
+            mean_step_reward=traj["reward"].mean(),
+            mean_value=traj["value"].mean(),
+        )
+        return (
+            TrainState(
+                params=params, opt_state=opt_state, env_state=env_state,
+                pool=ts.pool, key=key, update_i=ts.update_i + 1,
+            ),
+            metrics,
+        )
+
+    return train_step

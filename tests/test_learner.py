@@ -1,0 +1,61 @@
+"""PPO learner + mesh sharding smoke/behavior tests (8 virtual CPU devices)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multi_car_racing_tpu import config as C
+from multi_car_racing_tpu.learner import ppo
+from multi_car_racing_tpu.parallel import mesh as pmesh
+
+
+def _tiny_cfgs(n_envs=4):
+    env_cfg = C.EnvConfig(num_agents=2, velocity_iters=8, position_iters=3)
+    ppo_cfg = ppo.PPOConfig(
+        rollout_len=4, num_envs=n_envs, pool_size=2, minibatches=2, epochs=1
+    )
+    return env_cfg, ppo_cfg
+
+
+def test_train_step_updates_params():
+    env_cfg, ppo_cfg = _tiny_cfgs()
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    train_step = jax.jit(ppo.make_train_step(env_cfg, ppo_cfg))
+    ts2, metrics = train_step(ts)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # params must have moved
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), ts.params, ts2.params
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+    assert int(ts2.update_i) == 1
+
+
+def test_train_step_sharded_over_mesh():
+    env_cfg, ppo_cfg = _tiny_cfgs(n_envs=16)
+    mesh = pmesh.make_mesh(8)
+    with jax.set_mesh(mesh):
+        ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+        ts = pmesh.shard_train_state(ts, mesh)
+        train_step = jax.jit(ppo.make_train_step(env_cfg, ppo_cfg))
+        ts, metrics = train_step(ts)
+        jax.block_until_ready(metrics)
+    assert np.isfinite(float(metrics["loss"]))
+    # env batch stays sharded over 'data' after the step
+    sh = ts.env_state.reward.sharding
+    assert "data" in str(sh.spec) or sh.is_fully_replicated is False
+
+
+def test_learning_signal_on_tiny_problem():
+    """A few updates should reduce value loss on-policy (sanity, not a full
+    training run)."""
+    env_cfg, ppo_cfg = _tiny_cfgs(n_envs=8)
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(1))
+    train_step = jax.jit(ppo.make_train_step(env_cfg, ppo_cfg))
+    first = None
+    for i in range(6):
+        ts, metrics = train_step(ts)
+        if i == 0:
+            first = float(metrics["v_loss"])
+    assert float(metrics["v_loss"]) < first * 1.5  # not diverging
