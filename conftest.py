@@ -19,3 +19,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite compiles many large programs
+# (180-iteration solvers, rasterizers); caching makes repeat runs fast.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

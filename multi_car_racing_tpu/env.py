@@ -35,7 +35,7 @@ from . import config as Cfg
 from . import config as C
 from .struct import pytree_dataclass
 from .track.common import Track, pack_track, spawn_poses
-from .physics import overlap, tire, world
+from .physics import collide, overlap, tire, world
 from .physics.state import CarState, apply_controls, create_cars
 
 
@@ -55,6 +55,7 @@ class EnvState:
     t: jnp.ndarray                 # () f32 sim time
     steps: jnp.ndarray             # () int32 steps since reset
     done: jnp.ndarray              # () bool
+    contacts: collide.ContactState  # car-car contact warm-start carry
 
 
 def _episode_start(cars: CarState, track: Track, direction_cw, num_agents: int) -> EnvState:
@@ -75,6 +76,7 @@ def _episode_start(cars: CarState, track: Track, direction_cw, num_agents: int) 
         t=jnp.asarray(0.0, f32),
         steps=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False, bool),
+        contacts=collide.init_contact_state(num_agents, f32),
     )
 
 
@@ -136,10 +138,21 @@ def _physics_and_contacts(state: EnvState, num_agents: int,
         tile_touched=state.tile_touched | touched,
     )
 
-    cars = world.world_step(
-        state.cars, force, motor,
-        velocity_iters=velocity_iters, position_iters=position_iters,
-    )
+    if num_agents > 1:
+        # Car-car manifolds from pre-solve poses (Box2D's Collide pass).
+        man = collide.collide(state.cars, num_agents)
+        bundle = collide.make_bundle(man, state.contacts, state.cars, num_agents)
+        cars, bundle = world.world_step(
+            state.cars, force, motor,
+            velocity_iters=velocity_iters, position_iters=position_iters,
+            contacts=bundle,
+        )
+        state = state.replace(contacts=collide.extract_state(bundle))
+    else:
+        cars = world.world_step(
+            state.cars, force, motor,
+            velocity_iters=velocity_iters, position_iters=position_iters,
+        )
     return state.replace(
         cars=cars,
         t=state.t + C.DT,

@@ -1,0 +1,229 @@
+"""Gym-compatible facade: numpy in/out, reference API surface.
+
+Drop-in equivalent of the reference's ``MultiCarRacing`` class (mcr:125-674)
+and its registration entry (reference __init__.py:5-10):
+
+    env = multi_car_racing_tpu.make("MultiCarRacing-v0", num_agents=2)
+    obs = env.reset()                       # (N, 96, 96, 3) uint8
+    obs, reward, done, info = env.step(a)   # reward (N,), done bool
+
+Single-env convenience wrapper over the batched functional core; for
+throughput use the functional API (env.step / vmap) directly.
+
+API-parity notes (SURVEY.md §2.1):
+- the reference declares per-car/per-agent spaces that don't match its own
+  step contract; we declare honest batched spaces instead (documented
+  divergence),
+- ``step`` re-flattens any action shape via reshape(num_agents, -1), like
+  mcr:420,
+- ``render('human')`` returns the rgb_array frames (no windowing system is
+  assumed); 'state_pixels' and 'rgb_array' match the reference viewports.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import config as C
+from . import env as tenv
+from . import seeding
+
+metadata = {
+    "render.modes": ["human", "rgb_array", "state_pixels"],
+    "video.frames_per_second": C.FPS,
+}
+
+
+class Box:
+    """Minimal Box space (gymnasium-compatible attributes)."""
+
+    def __init__(self, low, high, shape, dtype):
+        self.low = np.broadcast_to(np.asarray(low, dtype), shape)
+        self.high = np.broadcast_to(np.asarray(high, dtype), shape)
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+
+    def sample(self, rng=None):
+        rng = rng or np.random
+        return rng.uniform(self.low, self.high).astype(self.dtype)
+
+    def contains(self, x):
+        x = np.asarray(x)
+        return (
+            x.shape == self.shape
+            and bool((x >= self.low - 1e-6).all())
+            and bool((x <= self.high + 1e-6).all())
+        )
+
+    def __repr__(self):
+        return f"Box{self.shape}"
+
+
+class MultiCarRacing:
+    metadata = metadata
+
+    def __init__(
+        self,
+        num_agents: int = 2,
+        verbose: int = 1,
+        direction: str = "CCW",
+        use_random_direction: bool = True,
+        backwards_flag: bool = True,
+        h_ratio: float = 0.25,
+        use_ego_color: bool = False,
+        global_seed: int | None = None,
+    ):
+        self.cfg = C.EnvConfig(
+            num_agents=num_agents,
+            direction=direction,
+            use_random_direction=use_random_direction,
+            backwards_flag=backwards_flag,
+            h_ratio=h_ratio,
+            use_ego_color=use_ego_color,
+            verbose=verbose,
+        )
+        self.num_agents = num_agents
+        # The reference draws direction/spawn order from the module-global
+        # np.random (mcr:352-357); here that stream is explicit and seedable.
+        self._global = seeding.GlobalStream(global_seed)
+        self.np_random, _ = seeding.np_random(None)
+        self._state = None
+        self.reward = np.zeros(num_agents)
+
+        n = num_agents
+        self.action_space = Box(
+            np.tile([-1.0, 0.0, 0.0], (n, 1)), np.tile([1.0, 1.0, 1.0], (n, 1)),
+            (n, 3), np.float32,
+        )
+        self.observation_space = Box(0, 255, (n, C.STATE_H, C.STATE_W, 3), np.uint8)
+
+        cfg = self.cfg
+        self._step_fn = jax.jit(partial(tenv.step, cfg))
+
+        from .render import raster
+
+        self._obs_fn = jax.jit(partial(raster.render_observation, cfg))
+        self._video_fn = jax.jit(
+            partial(raster.render_observation, cfg, vp_w=C.VIDEO_W, vp_h=C.VIDEO_H)
+        )
+
+    # -- gym API ----------------------------------------------------------
+    def seed(self, seed=None):
+        self.np_random, seed = seeding.np_random(seed)
+        return [seed]
+
+    def reset(self):
+        state, info = tenv.host_reset(
+            self.cfg, np_rng=self.np_random, global_stream=self._global
+        )
+        if self.cfg.verbose == 1:
+            print(
+                f"Track generation: {info['n_tiles']}-tiles track "
+                f"({info['retries']} retries)"
+            )
+        self._state = state
+        self.reward = np.asarray(state.reward)
+        return np.asarray(self._obs_fn(state))
+
+    def step(self, action):
+        if self._state is None:
+            raise RuntimeError("call reset() first")
+        if action is None:
+            # reference step(None) is internal-only (reset tick); reset()
+            # already performed it.
+            raise ValueError("action must not be None; reset() handles the spawn tick")
+        action = np.reshape(np.asarray(action, np.float32), (self.num_agents, -1))
+        state, r, done = self._step_fn(self._state, jnp.asarray(action))
+        self._state = state
+        self.reward = np.asarray(state.reward)
+        obs = np.asarray(self._obs_fn(state))
+        return obs, np.asarray(r), bool(done), {}
+
+    def render(self, mode: str = "human"):
+        assert mode in ("human", "state_pixels", "rgb_array")
+        if self._state is None:
+            return None  # reference guards on reset-not-called (mcr:538)
+        if mode == "state_pixels":
+            return np.asarray(self._obs_fn(self._state))
+        return np.asarray(self._video_fn(self._state))
+
+    def close(self):
+        self._state = None
+
+    # -- convenience ------------------------------------------------------
+    @property
+    def state(self):
+        """The functional EnvState (for tooling/checkpointing)."""
+        return self._state
+
+    @property
+    def track_length(self):
+        return int(self._state.track.n_tiles) if self._state is not None else None
+
+    @property
+    def tile_visited_count(self):
+        return list(np.asarray(self._state.tile_visited_count))
+
+    @property
+    def driving_backward(self):
+        return np.asarray(self._state.driving_backward)
+
+    @property
+    def driving_on_grass(self):
+        return np.asarray(self._state.driving_on_grass)
+
+
+class TimeLimit:
+    """The registration wrapper (reference __init__.py:8): truncates at
+    max_episode_steps (reported through ``done`` like gym 0.17)."""
+
+    def __init__(self, env: MultiCarRacing, max_episode_steps: int = C.MAX_EPISODE_STEPS):
+        self.env = env
+        self.max_episode_steps = max_episode_steps
+        self._elapsed = 0
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    def reset(self):
+        self._elapsed = 0
+        return self.env.reset()
+
+    def step(self, action):
+        obs, r, done, info = self.env.step(action)
+        self._elapsed += 1
+        if self._elapsed >= self.max_episode_steps:
+            info["TimeLimit.truncated"] = not done
+            done = True
+        return obs, r, done, info
+
+
+REGISTRY = {
+    "MultiCarRacing-v0": dict(
+        max_episode_steps=C.MAX_EPISODE_STEPS, reward_threshold=C.REWARD_THRESHOLD
+    ),
+    # The exact CarRacing-v0 special case (reference README.md:66-71).
+    "CarRacing-v0": dict(
+        max_episode_steps=C.MAX_EPISODE_STEPS,
+        reward_threshold=C.REWARD_THRESHOLD,
+        kwargs=dict(
+            num_agents=1, use_random_direction=False, backwards_flag=False
+        ),
+    ),
+}
+
+
+def make(env_id: str = "MultiCarRacing-v0", **kwargs) -> TimeLimit:
+    if env_id not in REGISTRY:
+        raise KeyError(f"unknown env id {env_id!r}; have {sorted(REGISTRY)}")
+    spec = REGISTRY[env_id]
+    merged = dict(spec.get("kwargs", {}))
+    merged.update(kwargs)
+    env = MultiCarRacing(**merged)
+    wrapped = TimeLimit(env, spec["max_episode_steps"])
+    wrapped.reward_threshold = spec["reward_threshold"]
+    return wrapped

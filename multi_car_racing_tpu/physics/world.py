@@ -36,7 +36,9 @@ def world_step(
     velocity_iters: int = C.VELOCITY_ITERS,
     position_iters: int = C.POSITION_ITERS,
     contacts=None,                # optional collide.ContactBundle (car-car)
-) -> CarState:
+):
+    """Returns the new CarState, and the updated ContactBundle when car-car
+    contacts are enabled (for impulse warm-start carry)."""
     from . import collide  # local import to avoid cycle
 
     # --- 1. integrate velocities (forces only on wheels).
@@ -48,8 +50,9 @@ def world_step(
     )
 
     # --- 2. init + warm start (contacts first, then joints — b2Island order).
+    n_cars = state.hull_c.shape[0]
     if contacts is not None:
-        vel, contacts = collide.init_velocity_and_warm_start(vel, contacts)
+        vel = collide.warm_start(vel, contacts, n_cars)
     state, jdata = joints.init_constraints(state, motor_speed)
     vel = joints.warm_start(vel, jdata, state)
 
@@ -58,7 +61,7 @@ def world_step(
         vel, state, contacts = carry
         vel, state = joints.solve_velocity(vel, jdata, state, dt)
         if contacts is not None:
-            vel, contacts = collide.solve_velocity(vel, contacts)
+            vel, contacts = collide.velocity_pass(vel, contacts, n_cars)
         return (vel, state, contacts)
 
     vel, state, contacts = jax.lax.fori_loop(
@@ -94,14 +97,14 @@ def world_step(
     # --- 5. position iterations (contacts then joints, like b2Island).
     def pos_iter(_, pos):
         if contacts is not None:
-            posx = collide.solve_position(pos, contacts)
+            posx = collide.position_pass(pos, contacts, n_cars)
         else:
             posx = pos
         return joints.solve_position(posx, jdata)
 
     pos = jax.lax.fori_loop(0, position_iters, pos_iter, pos)
 
-    return state.replace(
+    new_state = state.replace(
         hull_c=pos.hull_c,
         hull_a=pos.hull_a,
         hull_v=hv,
@@ -111,3 +114,6 @@ def world_step(
         wheel_v=wv,
         wheel_w=ww,
     )
+    if contacts is not None:
+        return new_state, contacts
+    return new_state

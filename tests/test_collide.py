@@ -1,0 +1,86 @@
+"""Car-car collision tests vs the reference (tolerance-band: contact events
+are chaotic, SURVEY.md §7.1 — assert impulse-scale agreement, not bit parity)."""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multi_car_racing_tpu import config as C, env as tenv, seeding
+
+
+def _setup(N=4, seed=11, gseed=5):
+    from multi_car_racing_tpu.oracle import shims
+
+    Env, _ = shims.load_reference_env_class()
+    env = Env(num_agents=N, verbose=0)
+    env.seed(seed)
+    np.random.seed(gseed)
+    env.reset()
+    order = [env.car_order[i] for i in range(N)]
+    rear, front = order.index(2), order.index(0)
+    return env, order, rear, front
+
+
+def test_rear_end_collision_matches_reference():
+    N = 4
+    env, order, rear, front = _setup(N)
+    acts = np.zeros((N, 3))
+    acts[rear] = [0.0, 1.0, 0.0]
+
+    for _ in range(120):
+        env.step(acts)
+    ref_front = np.array(env.cars[front].hull.position)
+    ref_front_v = np.linalg.norm(env.cars[front].hull.linearVelocity)
+
+    cfg = C.EnvConfig(num_agents=N)
+    state, _ = tenv.host_reset(cfg, seed=11, global_stream=seeding.GlobalStream(5))
+    step = jax.jit(partial(tenv.step, cfg))
+    for _ in range(120):
+        state, _, _ = step(state, jnp.asarray(acts, jnp.float32))
+    our_front = np.asarray(state.cars.hull_origin[front])
+    our_front_v = float(jnp.linalg.norm(state.cars.hull_v[front]))
+
+    # The stationary car must have been rammed and pushed in both engines.
+    assert ref_front_v > 2.0 and our_front_v > 2.0
+    # Post-impact positions agree to a couple of meters (chaotic regime).
+    assert np.linalg.norm(our_front - ref_front) < 2.0
+
+
+def test_no_contact_forces_at_spawn():
+    """Side-by-side spawn (6 m apart): contacts must do nothing."""
+    cfg = C.EnvConfig(num_agents=2)
+    state, _ = tenv.host_reset(cfg, seed=3, global_stream=seeding.GlobalStream(3))
+    step = jax.jit(partial(tenv.step, cfg))
+    s = state
+    for _ in range(10):
+        s, r, d = step(s, jnp.zeros((2, 3)))
+    # No impulses accumulated, cars at rest.
+    assert float(jnp.abs(s.contacts.normal_imp).max()) == 0.0
+    assert float(jnp.linalg.norm(s.cars.hull_v, axis=-1).max()) < 1e-3
+
+
+def test_cars_do_not_interpenetrate():
+    """Ram hard for a long time: solver must keep hull centers separated by
+    at least roughly a car length (no tunnelling)."""
+    N = 4
+    cfg = C.EnvConfig(num_agents=N)
+    state, _ = tenv.host_reset(cfg, seed=11, global_stream=seeding.GlobalStream(5))
+    order = None
+    # Identify rear/front like the reference test (order from same streams).
+    gs = seeding.GlobalStream(5)
+    gs.direction()
+    order = list(gs.car_order(N))
+    rear, front = order.index(2), order.index(0)
+    acts = np.zeros((N, 3))
+    acts[rear] = [0.0, 1.0, 0.0]
+    step = jax.jit(partial(tenv.step, cfg))
+    for _ in range(200):
+        state, _, _ = step(state, jnp.asarray(acts, jnp.float32))
+    d = float(
+        jnp.linalg.norm(
+            state.cars.hull_origin[rear] - state.cars.hull_origin[front]
+        )
+    )
+    assert d > 2.0, f"cars interpenetrated: {d:.2f} m apart"

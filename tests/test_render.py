@@ -1,0 +1,96 @@
+"""Rasterizer tests: production vs oracle pixel equality + structure."""
+
+from functools import partial
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multi_car_racing_tpu import config as C, env as tenv, seeding, obs as tobs
+from multi_car_racing_tpu.render import raster, xla_raster
+
+
+@pytest.fixture(scope="module")
+def driven_state():
+    cfg = C.EnvConfig(num_agents=2)
+    state, _ = tenv.host_reset(cfg, seed=11, global_stream=seeding.GlobalStream(5))
+    step = jax.jit(partial(tenv.step, cfg))
+    for _ in range(150):
+        f = np.asarray(tobs.state_observation(state))
+        steer = np.clip(-2.0 * f[:, 16], -1, 1)
+        a = np.stack([steer, 0.35 * np.ones(2), np.zeros(2)], -1)
+        state, _, _ = step(state, jnp.asarray(a, jnp.float32))
+    return cfg, state
+
+
+def test_production_matches_oracle_postwarmup(driven_state):
+    cfg, state = driven_state
+    oracle = np.asarray(jax.jit(partial(xla_raster.render_observation, cfg))(state))
+    prod = np.asarray(jax.jit(partial(raster.render_observation, cfg))(state))
+    np.testing.assert_array_equal(prod, oracle)
+
+
+def test_frame_structure(driven_state):
+    cfg, state = driven_state
+    img = np.asarray(jax.jit(partial(raster.render_observation, cfg))(state))[0]
+    assert img.shape == (96, 96, 3) and img.dtype == np.uint8
+    # HUD black bar: bottom 12 rows mostly black (bars/score paint over some).
+    assert (img[92:, 60:80] == 0).mean() > 0.9
+    # Road gray visible somewhere in the upper 84 rows (car follows track).
+    road = (np.abs(img[:84].astype(int) - 102) < 6).all(-1)
+    assert road.mean() > 0.1
+    # Ego car color (red, car id 0 default palette) present near car anchor
+    # (h_ratio 0.25 from bottom, horizontally centered).
+    patch = img[60:80, 40:56].reshape(-1, 3).astype(int)
+    assert (np.abs(patch - [204, 0, 0]).sum(-1) < 40).any()
+
+
+def test_ego_color_mode(driven_state):
+    _, state = driven_state
+    cfg = C.EnvConfig(num_agents=2, use_ego_color=True)
+    img = np.asarray(jax.jit(partial(raster.render_observation, cfg))(state))
+    # view 0: ego red near anchor; view 1: ego red too (its own view).
+    for v in range(2):
+        patch = img[v, 56:84, 32:64].reshape(-1, 3).astype(int)
+        assert (np.abs(patch - [204, 0, 0]).sum(-1) < 40).any()
+
+
+def test_rgb_array_viewport(driven_state):
+    cfg, state = driven_state
+    img = np.asarray(
+        jax.jit(
+            partial(raster.render_observation, cfg, vp_w=C.VIDEO_W, vp_h=C.VIDEO_H)
+        )(state)
+    )
+    assert img.shape == (2, 400, 600, 3)
+
+
+def test_gym_facade_roundtrip():
+    import multi_car_racing_tpu as mcr
+
+    env = mcr.make("CarRacing-v0")   # 1-agent special case
+    env.seed(3)
+    obs = env.reset()
+    assert obs.shape == (1, 96, 96, 3)
+    total = 0.0
+    for _ in range(10):
+        obs, r, done, info = env.step(np.asarray([[0.0, 0.5, 0.0]]))
+        total += float(r[0])
+    assert np.isfinite(total)
+    assert env.render("state_pixels").shape == (1, 96, 96, 3)
+    assert env.render("rgb_array").shape == (1, 400, 600, 3)
+    env.close()
+
+
+def test_time_limit_truncation():
+    import multi_car_racing_tpu as mcr
+
+    env = mcr.make("MultiCarRacing-v0", num_agents=1)
+    env.max_episode_steps = 5  # shrink for test speed
+    env.seed(0)
+    env.reset()
+    done = False
+    for i in range(5):
+        _, _, done, info = env.step(np.zeros((1, 3)))
+    assert done and info.get("TimeLimit.truncated") is True
