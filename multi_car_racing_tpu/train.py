@@ -1,0 +1,96 @@
+"""PPO training driver (BASELINE.json config 5).
+
+    python -m multi_car_racing_tpu.train --updates 50 --num-envs 256
+    python -m multi_car_racing_tpu.train --obs state --log /tmp/ppo.jsonl
+
+Multi-host pod slices: launch one process per host with the standard JAX
+coordinator env (or pass --distributed to call jax.distributed.initialize);
+the mesh spans all devices, env batches shard per host, gradients all-reduce
+over ICI/DCN via GSPMD (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--updates", type=int, default=20)
+    ap.add_argument("--num-envs", type=int, default=256)
+    ap.add_argument("--rollout", type=int, default=64)
+    ap.add_argument("--num-agents", type=int, default=2)
+    ap.add_argument("--obs", choices=["state", "pixels"], default="state")
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log", default=None, help="JSONL metrics path")
+    ap.add_argument("--checkpoint", default=None, help="save path (every --ckpt-every)")
+    ap.add_argument("--ckpt-every", type=int, default=10)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
+    ap.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize() (multi-host)")
+    ap.add_argument("--fast-solver", action="store_true",
+                    help="velocity/position iterations 30/12 instead of 180/60")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from . import checkpoint, config as C, metrics
+    from .learner import ppo
+    from .parallel import mesh as pmesh
+
+    env_kw = {}
+    if args.fast_solver:
+        env_kw = dict(velocity_iters=30, position_iters=12)
+    env_cfg = C.EnvConfig(num_agents=args.num_agents, **env_kw)
+    ppo_cfg = ppo.PPOConfig(
+        rollout_len=args.rollout, num_envs=args.num_envs, lr=args.lr,
+        obs_type=args.obs,
+    )
+
+    mesh = pmesh.make_mesh()
+    print(f"devices: {jax.device_count()} ({jax.devices()[0].platform}), "
+          f"mesh axes: {mesh.shape}")
+    with jax.set_mesh(mesh):
+        ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(args.seed))
+        if args.resume:
+            ts = checkpoint.restore(args.resume, ts)
+            print(f"resumed from {args.resume} at update {int(ts.update_i)}")
+        ts = pmesh.shard_train_state(ts, mesh)
+        train_step = jax.jit(ppo.make_train_step(env_cfg, ppo_cfg), donate_argnums=0)
+
+        logger = metrics.JsonlLogger(args.log)
+        steps_per_update = args.rollout * args.num_envs * args.num_agents
+        with metrics.profile_trace(args.profile):
+            for i in range(args.updates):
+                t0 = time.time()
+                ts, m = train_step(ts)
+                m = {k: float(v) for k, v in m.items()}
+                env_m = {k: float(v) for k, v in metrics.env_metrics(ts.env_state).items()}
+                row = logger.log(
+                    int(ts.update_i) * steps_per_update, {**m, **env_m},
+                    update=int(ts.update_i), update_s=round(time.time() - t0, 3),
+                )
+                print(
+                    f"update {row['update']:4d} "
+                    f"loss {m['loss']:+.4f} v {m['v_loss']:.4f} "
+                    f"r/step {m['mean_step_reward']:+.3f} "
+                    f"tiles {env_m['mean_tiles_visited']:.1f} "
+                    f"{row.get('env_steps_per_sec', 0):,.0f} steps/s"
+                )
+                if args.checkpoint and (i + 1) % args.ckpt_every == 0:
+                    checkpoint.save(args.checkpoint, ts)
+                    print(f"checkpointed -> {args.checkpoint}")
+
+    if args.checkpoint:
+        checkpoint.save(args.checkpoint, ts)
+        print(f"final checkpoint -> {args.checkpoint}")
+
+
+if __name__ == "__main__":
+    main()

@@ -94,3 +94,15 @@ def test_time_limit_truncation():
     for i in range(5):
         _, _, done, info = env.step(np.zeros((1, 3)))
     assert done and info.get("TimeLimit.truncated") is True
+
+
+def test_pallas_kernel_matches_painter(driven_state):
+    """The Pallas rasterization kernel (interpret mode on CPU) must be
+    pixel-identical to the XLA painter."""
+    from multi_car_racing_tpu.render import pallas_raster as PR
+
+    cfg, state = driven_state
+    batched = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], state)
+    pallas_img = np.asarray(PR.render_pixels(cfg, batched, interpret=True))[0]
+    xla_img = np.asarray(jax.jit(partial(raster.render_observation, cfg))(state))
+    np.testing.assert_array_equal(pallas_img, xla_img)
