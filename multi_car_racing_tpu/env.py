@@ -336,7 +336,7 @@ def host_reset(cfg: Cfg.EnvConfig, seed=None, global_stream=None, np_rng=None):
         direction = cfg.direction
     order = global_stream.car_order(cfg.num_agents)
 
-    pts, border, retries = track_host.generate_track(np_rng)
+    pts, border, retries = track_host.generate_track_fast(np_rng)
     track = pack_track(pts, border, max_tiles=cfg.max_tiles)
     state = reset_from_parts(cfg, track, jnp.asarray(order), direction == "CW")
     return state, {"n_tiles": len(pts), "retries": retries, "direction": direction}

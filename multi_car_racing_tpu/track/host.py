@@ -166,3 +166,16 @@ def generate_track(
         if out is not None:
             return out[0], out[1], attempt
     raise RuntimeError(f"track generation failed {max_retries} times")
+
+
+def generate_track_fast(
+    rng: np.random.RandomState, max_retries: int = 100
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Native (C++) generator when available — bit-exact with
+    :func:`generate_track` including RNG stream continuation (tested) and
+    ~17x faster; silently falls back to the Python oracle otherwise."""
+    from .. import native
+
+    if native.load() is not None:
+        return native.generate_track(rng, max_retries)
+    return generate_track(rng, max_retries)

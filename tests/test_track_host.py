@@ -133,3 +133,24 @@ def test_spawn_positions_match_reference(reference_env, monkeypatch):
         # Box2D stores positions as float32.
         np.testing.assert_allclose(pos, ref_pos, atol=1e-4)
         np.testing.assert_allclose(ang, ref_ang, atol=1e-5)
+
+
+def test_native_trackgen_bit_exact_with_stream_continuation():
+    """C++ generator == Python oracle bit-for-bit, including the MT19937
+    stream state across consecutive episodes (the reference shares one
+    RandomState across resets)."""
+    from multi_car_racing_tpu import native
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip(f"no native toolchain: {native.build_error()}")
+    r1, _ = seeding.np_random(5)
+    r2, _ = seeding.np_random(5)
+    for _ in range(3):
+        p1, b1, k1 = host.generate_track(r1)
+        p2, b2, k2 = native.generate_track(r2)
+        assert np.array_equal(p1, p2)
+        assert np.array_equal(b1, b2)
+        assert k1 == k2
+    assert np.array_equal(r1.get_state()[1], r2.get_state()[1])
