@@ -59,3 +59,21 @@ def test_learning_signal_on_tiny_problem():
         if i == 0:
             first = float(metrics["v_loss"])
     assert float(metrics["v_loss"]) < first * 1.5  # not diverging
+
+
+def test_train_step_pixels():
+    """PPO over the real 96x96x3 pixel observations (reference contract):
+    rollout renders per step, CNN torso, one update."""
+    env_cfg = C.EnvConfig(num_agents=1, velocity_iters=4, position_iters=2)
+    ppo_cfg = ppo.PPOConfig(
+        rollout_len=2, num_envs=2, pool_size=2, minibatches=1, epochs=1,
+        obs_type="pixels",
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    train_step = jax.jit(ppo.make_train_step(env_cfg, ppo_cfg))
+    ts2, metrics = train_step(ts)
+    assert np.isfinite(float(metrics["loss"]))
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), ts.params, ts2.params
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
