@@ -91,6 +91,12 @@ GAS_RATE_LIMIT = 0.1           # max gas increase per control call (cd:150-151)
 DT = 1.0 / FPS
 VELOCITY_ITERS = 6 * 30        # 180
 POSITION_ITERS = 2 * 30        # 60
+# Car-car contact sub-pass caps (physics/world.py). Full interleave by
+# default: capping below the joint iteration count lets post-contact joint
+# polishing reopen approach velocities and visibly changes crash outcomes
+# (measured 20 m post-impact divergence at 30/20).
+CONTACT_VELOCITY_ITERS = VELOCITY_ITERS
+CONTACT_POSITION_ITERS = POSITION_ITERS
 
 # Box2D internal tuning constants (b2Settings.h, Box2D 2.3.5) that shape the
 # numerics we reproduce:

@@ -146,7 +146,7 @@ def _physics_and_contacts(state: EnvState, num_agents: int,
             state.cars, force, motor,
             velocity_iters=velocity_iters, position_iters=position_iters,
             contacts=bundle,
-        )
+        )  # contact sub-passes capped at convergence (CONTACT_*_ITERS)
         state = state.replace(contacts=collide.extract_state(bundle))
     else:
         cars = world.world_step(

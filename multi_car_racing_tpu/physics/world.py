@@ -36,6 +36,8 @@ def world_step(
     velocity_iters: int = C.VELOCITY_ITERS,
     position_iters: int = C.POSITION_ITERS,
     contacts=None,                # optional collide.ContactBundle (car-car)
+    contact_velocity_iters: int = C.CONTACT_VELOCITY_ITERS,
+    contact_position_iters: int = C.CONTACT_POSITION_ITERS,
 ):
     """Returns the new CarState, and the updated ContactBundle when car-car
     contacts are enabled (for impulse warm-start carry)."""
@@ -56,17 +58,34 @@ def world_step(
     state, jdata = joints.init_constraints(state, motor_speed)
     vel = joints.warm_start(vel, jdata, state)
 
-    # --- 3. velocity iterations.
-    def vel_iter(_, carry):
+    # --- 3. velocity iterations. Contacts converge in a few dozen passes;
+    # Box2D interleaves them through all 180 anyway, but past convergence the
+    # extra contact passes are numeric no-ops, so we split: the first
+    # ``contact_velocity_iters`` interleave joints+contacts, the remainder
+    # polish joints only (saves ~5/6 of the contact-solver work per step).
+    def vel_iter_contacts(_, carry):
         vel, state, contacts = carry
         vel, state = joints.solve_velocity(vel, jdata, state, dt)
-        if contacts is not None:
-            vel, contacts = collide.velocity_pass(vel, contacts, n_cars)
+        vel, contacts = collide.velocity_pass(vel, contacts, n_cars)
         return (vel, state, contacts)
 
-    vel, state, contacts = jax.lax.fori_loop(
-        0, velocity_iters, vel_iter, (vel, state, contacts)
-    )
+    def vel_iter_joints(_, carry):
+        vel, state, contacts = carry
+        vel, state = joints.solve_velocity(vel, jdata, state, dt)
+        return (vel, state, contacts)
+
+    if contacts is not None:
+        k = min(contact_velocity_iters, velocity_iters)
+        vel, state, contacts = jax.lax.fori_loop(
+            0, k, vel_iter_contacts, (vel, state, contacts)
+        )
+        vel, state, contacts = jax.lax.fori_loop(
+            0, velocity_iters - k, vel_iter_joints, (vel, state, contacts)
+        )
+    else:
+        vel, state, contacts = jax.lax.fori_loop(
+            0, velocity_iters, vel_iter_joints, (vel, state, contacts)
+        )
 
     # --- 4. integrate positions with Box2D's translation/rotation clamps.
     def clamp_v(v, w):
@@ -94,15 +113,22 @@ def world_step(
         wheel_a=state.wheel_a + dt * ww,
     )
 
-    # --- 5. position iterations (contacts then joints, like b2Island).
-    def pos_iter(_, pos):
-        if contacts is not None:
-            posx = collide.position_pass(pos, contacts, n_cars)
-        else:
-            posx = pos
+    # --- 5. position iterations (contacts then joints, like b2Island);
+    # contact push-out converges like the velocity pass and runs only in the
+    # first ``contact_position_iters``.
+    def pos_iter_contacts(_, pos):
+        posx = collide.position_pass(pos, contacts, n_cars)
         return joints.solve_position(posx, jdata)
 
-    pos = jax.lax.fori_loop(0, position_iters, pos_iter, pos)
+    def pos_iter_joints(_, pos):
+        return joints.solve_position(pos, jdata)
+
+    if contacts is not None:
+        k = min(contact_position_iters, position_iters)
+        pos = jax.lax.fori_loop(0, k, pos_iter_contacts, pos)
+        pos = jax.lax.fori_loop(0, position_iters - k, pos_iter_joints, pos)
+    else:
+        pos = jax.lax.fori_loop(0, position_iters, pos_iter_joints, pos)
 
     new_state = state.replace(
         hull_c=pos.hull_c,
