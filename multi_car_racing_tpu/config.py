@@ -143,6 +143,7 @@ class EnvConfig:
     # --- engine knobs (new, no reference counterpart) ---
     max_tiles: int = 384              # pad track to this many tiles (measured max 355)
     exact_hull_touch: bool = False    # full hull SAT for the render 'touched' flag
+    track_skid: bool = False          # maintain skid-particle trails (render-only)
     max_track_points: int = 2500      # walk iteration bound (mcr:211)
     max_track_retries: int = 12       # rejection-resampling bound (reference retries forever)
     velocity_iters: int = VELOCITY_ITERS

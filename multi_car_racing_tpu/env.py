@@ -36,6 +36,7 @@ from . import config as C
 from .struct import pytree_dataclass
 from .track.common import Track, pack_track, spawn_poses
 from .physics import collide, overlap, tire, world
+from .render import particles
 from .physics.state import CarState, apply_controls, create_cars
 
 
@@ -56,6 +57,7 @@ class EnvState:
     steps: jnp.ndarray             # () int32 steps since reset
     done: jnp.ndarray              # () bool
     contacts: collide.ContactState  # car-car contact warm-start carry
+    skid: particles.SkidState      # render-only tire-mark trails
 
 
 def _episode_start(cars: CarState, track: Track, direction_cw, num_agents: int) -> EnvState:
@@ -77,6 +79,7 @@ def _episode_start(cars: CarState, track: Track, direction_cw, num_agents: int) 
         steps=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False, bool),
         contacts=collide.init_contact_state(num_agents, f32),
+        skid=particles.init(num_agents, f32),
     )
 
 
@@ -126,10 +129,19 @@ def _visit_rewards(state: EnvState, car_tile: jnp.ndarray, num_agents: int):
 
 def _physics_and_contacts(state: EnvState, num_agents: int,
                           velocity_iters: int, position_iters: int,
-                          exact_hull_touch: bool = False):
+                          exact_hull_touch: bool = False,
+                          track_skid: bool = False):
     """Stages 2-4: tire forces (lagged mask), contact pass + rewards, solve."""
-    cars, force, motor, _skid = tire.tire_step(state.cars, state.wheel_on_road)
+    lagged_on_road = state.wheel_on_road
+    cars, force, motor, skid_flag = tire.tire_step(state.cars, lagged_on_road)
     state = state.replace(cars=cars)
+    if track_skid:
+        # Trails record the tire-model positions/flags (cd:232-249).
+        state = state.replace(
+            skid=particles.update(
+                state.skid, cars.wheel_c, skid_flag, lagged_on_road
+            )
+        )
 
     wheel_on_road, car_tile, touched = _contact_pass(state, exact_hull_touch)
     state = _visit_rewards(state, car_tile, num_agents)
@@ -240,7 +252,8 @@ def reset_from_parts(
     state = _episode_start(cars, track, direction_cw, n)
     # step(None): physics + contacts only — no action, no reward stage.
     return _physics_and_contacts(
-        state, n, cfg.velocity_iters, cfg.position_iters, cfg.exact_hull_touch
+        state, n, cfg.velocity_iters, cfg.position_iters, cfg.exact_hull_touch,
+        cfg.track_skid,
     )
 
 
@@ -254,7 +267,7 @@ def step(cfg: Cfg.EnvConfig, state: EnvState, action: jnp.ndarray):
     state = state.replace(cars=cars)
     state = _physics_and_contacts(
         state, cfg.num_agents, cfg.velocity_iters, cfg.position_iters,
-        cfg.exact_hull_touch,
+        cfg.exact_hull_touch, cfg.track_skid,
     )
     return _post_step(state, cfg)
 

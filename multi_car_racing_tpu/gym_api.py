@@ -85,6 +85,7 @@ class MultiCarRacing:
             h_ratio=h_ratio,
             use_ego_color=use_ego_color,
             verbose=verbose,
+            track_skid=True,   # rgb_array/human render skid trails
         )
         self.num_agents = num_agents
         # The reference draws direction/spawn order from the module-global
@@ -108,7 +109,8 @@ class MultiCarRacing:
 
         self._obs_fn = jax.jit(partial(raster.render_observation, cfg))
         self._video_fn = jax.jit(
-            partial(raster.render_observation, cfg, vp_w=C.VIDEO_W, vp_h=C.VIDEO_H)
+            partial(raster.render_observation, cfg, vp_w=C.VIDEO_W, vp_h=C.VIDEO_H,
+                    draw_particles=True)
         )
 
     # -- gym API ----------------------------------------------------------

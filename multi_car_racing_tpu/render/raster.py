@@ -95,8 +95,12 @@ def _window_indices(track, centers, w1: int, w2: int):
     return jnp.sort(jnp.concatenate([i1, i2], axis=1), axis=1)
 
 
-def render_observation(cfg, state, vp_w: int = C.STATE_W, vp_h: int = C.STATE_H):
-    """All agent views of one env -> (N, vp_h, vp_w, 3) uint8. vmap over E."""
+def render_observation(cfg, state, vp_w: int = C.STATE_W, vp_h: int = C.STATE_H,
+                       draw_particles: bool = False):
+    """All agent views of one env -> (N, vp_h, vp_w, 3) uint8. vmap over E.
+
+    ``draw_particles`` overlays skid trails (requires cfg.track_skid state;
+    the reference draws them only in non-state_pixels modes, mcr:564)."""
     n = cfg.num_agents
     track = state.track
     f32 = jnp.float32
@@ -179,6 +183,36 @@ def render_observation(cfg, state, vp_w: int = C.STATE_W, vp_h: int = C.STATE_H)
         cov_c = quad_cov(cqw[:, slot]) & cv[:, slot:slot + 1]
         idx = jnp.where(cov_t, tp[:, slot:slot + 1], idx)
         idx = jnp.where(cov_c, cp[:, slot:slot + 1], idx)
+
+    # ---- skid trails (under the cars, like the reference's draw order).
+    if draw_particles:
+        from . import particles as PT
+
+        S = state.skid.seg.shape[0] * state.skid.seg.shape[1]
+        seg_flat = state.skid.seg.reshape(S, 4)
+        pa = to_win(jnp.broadcast_to(seg_flat[None, :, 0:2], (n, S, 2)), 1)
+        pb = to_win(jnp.broadcast_to(seg_flat[None, :, 2:4], (n, S, 2)), 1)
+        grassf = state.skid.grass.reshape(S)
+        validf = state.skid.valid.reshape(S)
+        dxs = pb[..., 0] - pa[..., 0]
+        dys = pb[..., 1] - pa[..., 1]
+        len2 = dxs * dxs + dys * dys
+        # (n, S, P) point-segment distances, half-width 1 window px.
+        tpar = jnp.clip(
+            ((px[:, None, :] - pa[..., 0:1]) * dxs[..., None]
+             + (py[:, None, :] - pa[..., 1:2]) * dys[..., None])
+            / jnp.maximum(len2[..., None], 1e-9),
+            0.0, 1.0,
+        )
+        cxs = pa[..., 0:1] + tpar * dxs[..., None]
+        cys = pa[..., 1:2] + tpar * dys[..., None]
+        d2 = (px[:, None, :] - cxs) ** 2 + (py[:, None, :] - cys) ** 2
+        hw = max(1.0, 0.6 * C.WINDOW_W / vp_w)   # >= ~1 obs pixel visible
+        covp = (d2 <= hw * hw) & validf[None, :, None]
+        cov_black = (covp & ~grassf[None, :, None]).any(1)
+        cov_mud = (covp & grassf[None, :, None]).any(1)
+        idx = jnp.where(cov_black, jnp.asarray(PAL_BLACK, u8), idx)
+        idx = jnp.where(cov_mud, jnp.asarray(PAL_MUD, u8), idx)
 
     # ---- cars (id order: wheels+markers then hull fixtures).
     polys = G.car_polys_world(state.cars)

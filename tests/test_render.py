@@ -106,3 +106,31 @@ def test_pallas_kernel_matches_painter(driven_state):
     pallas_img = np.asarray(PR.render_pixels(cfg, batched, interpret=True))[0]
     xla_img = np.asarray(jax.jit(partial(raster.render_observation, cfg))(state))
     np.testing.assert_array_equal(pallas_img, xla_img)
+
+
+def test_skid_particles_recorded_and_drawn():
+    """Wheelspin must record trails (cfg.track_skid) and rgb_array must show
+    them; state_pixels must NOT (reference draws particles only in
+    non-state-pixels modes, mcr:564)."""
+    import multi_car_racing_tpu as mcr
+
+    env = mcr.make("MultiCarRacing-v0", num_agents=1, verbose=0)
+    env.seed(11)
+    env.reset()
+    for _ in range(40):
+        env.step(np.asarray([[0.6, 1.0, 0.0]]))
+    assert int(np.asarray(env.state.skid.valid).sum()) > 10
+
+    rgb = env.render("rgb_array")[0]
+    sp = env.render("state_pixels")[0]
+    # Trails are palette-black/mud pixels outside the HUD area; compare
+    # against the same scene rendered without particles.
+    from functools import partial as _p
+    from multi_car_racing_tpu.render import raster as _r
+
+    no_part = np.asarray(
+        jax.jit(_p(_r.render_observation, env.cfg, vp_w=600, vp_h=400))(env.state)
+    )[0]
+    assert (rgb != no_part).any(), "rgb_array should include trails"
+    sp_no = np.asarray(jax.jit(_p(_r.render_observation, env.cfg))(env.state))[0]
+    np.testing.assert_array_equal(sp, sp_no)
