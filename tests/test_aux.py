@@ -1,0 +1,66 @@
+"""Aux subsystems: state observation, metrics, checkpoint round-trip."""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multi_car_racing_tpu import (
+    checkpoint, config as C, env as tenv, metrics, obs as tobs, seeding,
+)
+
+
+def test_state_observation_shape_and_scale():
+    cfg = C.EnvConfig(num_agents=3)
+    state, _ = tenv.host_reset(cfg, seed=4, global_stream=seeding.GlobalStream(4))
+    f = np.asarray(tobs.state_observation(state))
+    assert f.shape == (3, tobs.STATE_OBS_DIM)
+    assert np.isfinite(f).all()
+    # roughly unit-scale features at spawn
+    assert np.abs(f).max() < 5.0
+    # heading error ~0 at spawn (cars face along the track)
+    assert (f[:, 15] > 0.9).all()          # cos(err) ~ 1
+
+
+def test_env_metrics_finite():
+    cfg = C.EnvConfig(num_agents=2)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    batched = jax.jit(jax.vmap(lambda k: tenv.device_reset(cfg, k)))(keys)
+    m = metrics.env_metrics(batched)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    assert float(m["frac_done"]) == 0.0
+
+
+def test_jsonl_logger(tmp_path):
+    p = str(tmp_path / "log.jsonl")
+    lg = metrics.JsonlLogger(p)
+    lg.log(100, {"a": 1.5})
+    lg.log(200, {"a": 2.5}, note="x")
+    import json
+
+    rows = [json.loads(l) for l in open(p)]
+    assert rows[0]["a"] == 1.5 and rows[1]["env_steps"] == 200
+    assert "env_steps_per_sec" in rows[1]
+
+
+def test_checkpoint_roundtrip_env_state(tmp_path):
+    cfg = C.EnvConfig(num_agents=2)
+    state, _ = tenv.host_reset(cfg, seed=9, global_stream=seeding.GlobalStream(9))
+    step = jax.jit(partial(tenv.step, cfg))
+    for _ in range(5):
+        state, _, _ = step(state, jnp.asarray([[0.0, 0.5, 0.0]] * 2))
+
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, state)
+    template, _ = tenv.host_reset(cfg, seed=1, global_stream=seeding.GlobalStream(1))
+    restored = checkpoint.restore(path, template)
+
+    # Bit-identical resume: continuing from the restored state matches.
+    a, ra, _ = step(state, jnp.asarray([[0.1, 0.5, 0.0]] * 2))
+    b, rb, _ = step(restored, jnp.asarray([[0.1, 0.5, 0.0]] * 2))
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+    np.testing.assert_array_equal(
+        np.asarray(a.cars.hull_c), np.asarray(b.cars.hull_c)
+    )
