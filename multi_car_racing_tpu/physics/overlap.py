@@ -30,7 +30,7 @@ def car_fixture_world_geometry(state: CarState):
 
     Returns (verts (N, 8, 8, 2), normals (N, 8, 8, 2)) — fixtures 0-3 are the
     hull polys (transformed by the hull *origin* frame), 4-7 the wheel rects.
-    Padded vertices repeat the last real vertex (harmless for SAT).
+    Padded vertices wrap cyclically (harmless for SAT).
     """
     dtype = state.hull_c.dtype
     local_v = jnp.asarray(shapes.CAR_FIXTURE_VERTS, dtype)       # (8,8,2)

@@ -68,18 +68,20 @@ def body_mass_data(fixtures: list[tuple[np.ndarray, float]]):
 
 
 def poly_with_normals(verts: np.ndarray, max_verts: int = 8):
-    """CCW verts padded to max_verts (repeating the last vertex) + outward
-    unit edge normals + true vertex count. Padded entries repeat the last
-    real vertex/normal so support/projection math needs no masking."""
+    """CCW verts padded to max_verts (wrapping cyclically) + outward unit
+    edge normals + true vertex count. Cyclic padding keeps row ``(i+1) %
+    max_verts`` equal to the polygon's next vertex for every real edge ``i``
+    — the manifold clipper reads the reference/incident face's second vertex
+    that way, including for the closing edge (v[n-1] -> v[0]). Padded rows
+    duplicate real vertices/normals, so support/projection math and argmin/
+    argmax edge selection (first-occurrence tie-break) need no masking."""
     v = _ccw(verts)
     n = len(v)
     edges = np.roll(v, -1, axis=0) - v
     normals = np.stack([edges[:, 1], -edges[:, 0]], axis=-1)
     normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
-    pad = max_verts - n
-    v_p = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
-    n_p = np.concatenate([normals, np.repeat(normals[-1:], pad, axis=0)], axis=0)
-    return v_p, n_p, n
+    idx = np.arange(max_verts) % n
+    return v[idx], normals[idx], n
 
 
 # ---------------------------------------------------------------------------
