@@ -62,6 +62,14 @@ def _tables(num_cars: int):
         for (fa, fb) in FIXTURE_PAIRS:
             rows_a.append(a * 5 + body[fa])
             rows_b.append(b * 5 + body[fb])
+    # Manifold -> flat-fixture (car*8 + fixture) index, for the batched
+    # Collide pass.
+    fix_a = np.asarray(
+        [a * 8 + fa for (a, _) in pairs for (fa, _) in FIXTURE_PAIRS]
+    )
+    fix_b = np.asarray(
+        [b * 8 + fb for (_, b) in pairs for (_, fb) in FIXTURE_PAIRS]
+    )
     mm = len(rows_a)
     nb = num_cars * 5
     wa = np.zeros((mm, nb), np.float32)
@@ -74,7 +82,7 @@ def _tables(num_cars: int):
     inv_i = np.tile(
         np.asarray([shapes.HULL_INV_I] + [shapes.WHEEL_INV_I] * 4), num_cars
     ).astype(np.float32)
-    return pairs, np.asarray(rows_a), np.asarray(rows_b), wa, wb, inv_m, inv_i
+    return pairs, np.asarray(rows_a), np.asarray(rows_b), wa, wb, inv_m, inv_i, fix_a, fix_b
 
 
 _TABLE_CACHE: dict = {}
@@ -195,45 +203,38 @@ class Manifolds(NamedTuple):
 
 
 def collide(cars, num_cars: int) -> Manifolds:
-    """Collide pass over all car pairs (single env; vmap for batches)."""
-    pairs, rows_a, rows_b, *_ = tables(num_cars)
-    local_v = jnp.asarray(shapes.CAR_FIXTURE_VERTS, cars.hull_c.dtype)
-    local_n = jnp.asarray(shapes.CAR_FIXTURE_NORMALS, cars.hull_c.dtype)
+    """Collide pass over all car pairs (single env; vmap for batches).
+
+    All ``P*48`` fixture pairs are collided as ONE stacked ``(MM, ...)``
+    computation (``vmap`` of :func:`_collide_pair`) rather than 48 unrolled
+    scalar programs — on TPU this replaces hundreds of sub-vector-width
+    opslets per env with a handful of (MM, 8, 8)-shaped ones."""
+    *_, fix_a, fix_b = tables(num_cars)
+    dtype = cars.hull_c.dtype
+    local_v = jnp.asarray(shapes.CAR_FIXTURE_VERTS, dtype)       # (8,8,2)
+    local_n = jnp.asarray(shapes.CAR_FIXTURE_NORMALS, dtype)
     origin = jnp.concatenate([cars.hull_origin[:, None, :], cars.wheel_c], axis=1)
     angle = jnp.concatenate([cars.hull_a[:, None], cars.wheel_a], axis=1)
-    body = shapes.CAR_FIXTURE_BODY
+    body = jnp.asarray(shapes.CAR_FIXTURE_BODY)
+    f_origin = origin[:, body]                                   # (N,8,2)
+    f_angle = angle[:, body]                                     # (N,8)
 
-    # World-space fixture geometry once per car (8 fixtures).
-    ca, sa = jnp.cos(angle), jnp.sin(angle)            # (N, 5)
+    # World-space geometry for all N*8 fixtures at once.
+    ca, sa = jnp.cos(f_angle)[..., None], jnp.sin(f_angle)[..., None]  # (N,8,1)
+    vx, vy = local_v[None, ..., 0], local_v[None, ..., 1]        # (1,8,8)
+    nx, ny = local_n[None, ..., 0], local_n[None, ..., 1]
+    wv = jnp.stack(
+        [ca * vx - sa * vy, sa * vx + ca * vy], axis=-1
+    ) + f_origin[:, :, None, :]                                  # (N,8,8,2)
+    wn = jnp.stack([ca * nx - sa * ny, sa * nx + ca * ny], axis=-1)
 
-    def world_fix(car, f):
-        b = body[f]
-        c_, s_ = ca[car, b], sa[car, b]
-        v = local_v[f]
-        n_ = local_n[f]
-        rv = jnp.stack(
-            [c_ * v[:, 0] - s_ * v[:, 1], s_ * v[:, 0] + c_ * v[:, 1]], axis=-1
-        ) + origin[car, b]
-        rn_ = jnp.stack(
-            [c_ * n_[:, 0] - s_ * n_[:, 1], s_ * n_[:, 0] + c_ * n_[:, 1]], axis=-1
-        )
-        return rv, rn_
-
-    out_n, out_p, out_s, out_ok, out_id = [], [], [], [], []
-    for (a, b) in pairs:
-        wa = {f: world_fix(a, f) for f in range(8)}
-        wb = {f: world_fix(b, f) for f in range(8)}
-        for (fa, fb) in FIXTURE_PAIRS:
-            n_, p_, s_, o_, i_ = _collide_pair(wa[fa][0], wa[fa][1],
-                                               wb[fb][0], wb[fb][1])
-            out_n.append(n_); out_p.append(p_); out_s.append(s_)
-            out_ok.append(o_); out_id.append(i_)
+    flat_v = wv.reshape(num_cars * 8, 8, 2)
+    flat_n = wn.reshape(num_cars * 8, 8, 2)
+    normal, pts, seps, ok, cid = jax.vmap(_collide_pair)(
+        flat_v[fix_a], flat_n[fix_a], flat_v[fix_b], flat_n[fix_b]
+    )
     return Manifolds(
-        normal=jnp.stack(out_n),
-        point=jnp.stack(out_p),
-        separation=jnp.stack(out_s),
-        point_ok=jnp.stack(out_ok),
-        ids=jnp.stack(out_id),
+        normal=normal, point=pts, separation=seps, point_ok=ok, ids=cid
     )
 
 
@@ -271,7 +272,7 @@ class ContactBundle(NamedTuple):
 
 def make_bundle(man: Manifolds, cstate: ContactState, cars, num_cars: int):
     """InitializeVelocityConstraints: effective masses + warm-start carry."""
-    _, rows_a, rows_b, wa, wb, inv_m, inv_i = tables(num_cars)
+    _, rows_a, rows_b, wa, wb, inv_m, inv_i, *_ = tables(num_cars)
     com, _ = flatten_com(cars.hull_c, cars.hull_a, cars.wheel_c, cars.wheel_a)
     wa_j = jnp.asarray(wa)
     wb_j = jnp.asarray(wb)
@@ -307,7 +308,7 @@ def make_bundle(man: Manifolds, cstate: ContactState, cars, num_cars: int):
 
 def warm_start(vel: Velocities, bundle: ContactBundle, n_cars: int) -> Velocities:
     """Apply carried-over impulses before iterating (b2ContactSolver::WarmStart)."""
-    _, _, _, wa, wb, inv_m, inv_i = tables(n_cars)
+    _, _, _, wa, wb, inv_m, inv_i, *_ = tables(n_cars)
     wa_j, wb_j = jnp.asarray(wa), jnp.asarray(wb)
     inv_m_j, inv_i_j = jnp.asarray(inv_m), jnp.asarray(inv_i)
     v, w = flatten_vel(vel)
@@ -326,7 +327,7 @@ def warm_start(vel: Velocities, bundle: ContactBundle, n_cars: int) -> Velocitie
 def velocity_pass(vel: Velocities, bundle: ContactBundle, n_cars: int):
     """One velocity iteration: friction sub-pass then two normal sub-passes,
     each Jacobi across manifolds with immediate (matmul) application."""
-    _, _, _, wa, wb, inv_m, inv_i = tables(n_cars)
+    _, _, _, wa, wb, inv_m, inv_i, *_ = tables(n_cars)
     wa_j, wb_j = jnp.asarray(wa), jnp.asarray(wb)
     inv_m_j, inv_i_j = jnp.asarray(inv_m), jnp.asarray(inv_i)
     v, w = flatten_vel(vel)
@@ -386,7 +387,7 @@ def position_pass(pos: Positions, bundle: ContactBundle, n_cars: int):
     """One position iteration: Baumgarte push-out along the Collide-time
     normal, separations tracked by rigid translation of the bodies (rotation
     deltas during correction are sub-slop; see module docstring)."""
-    _, _, _, wa, wb, inv_m, inv_i = tables(n_cars)
+    _, _, _, wa, wb, inv_m, inv_i, *_ = tables(n_cars)
     wa_j, wb_j = jnp.asarray(wa), jnp.asarray(wb)
     inv_m_j, inv_i_j = jnp.asarray(inv_m), jnp.asarray(inv_i)
 
