@@ -324,9 +324,13 @@ def warm_start(vel: Velocities, bundle: ContactBundle, n_cars: int) -> Velocitie
     return unflatten_vel(v, w, n_cars)
 
 
-def velocity_pass(vel: Velocities, bundle: ContactBundle, n_cars: int):
+def velocity_pass(vel: Velocities, n_imp, t_imp, bundle: ContactBundle, n_cars: int):
     """One velocity iteration: friction sub-pass then two normal sub-passes,
-    each Jacobi across manifolds with immediate (matmul) application."""
+    each Jacobi across manifolds with immediate (matmul) application.
+
+    The impulse accumulators are explicit carry arguments (not read from
+    ``bundle``) so a ``fori_loop`` over this pass carries only (vel, n_imp,
+    t_imp); the bundle's manifold constants stay loop-invariant."""
     _, _, _, wa, wb, inv_m, inv_i, *_ = tables(n_cars)
     wa_j, wb_j = jnp.asarray(wa), jnp.asarray(wb)
     inv_m_j, inv_i_j = jnp.asarray(inv_m), jnp.asarray(inv_i)
@@ -334,7 +338,6 @@ def velocity_pass(vel: Velocities, bundle: ContactBundle, n_cars: int):
     man = bundle.man
     n = man.normal
     t = jnp.stack([n[:, 1], -n[:, 0]], axis=-1)
-    n_imp, t_imp = bundle.normal_imp, bundle.tangent_imp
 
     def rel_vel(k):
         va = wa_j @ v
@@ -379,8 +382,7 @@ def velocity_pass(vel: Velocities, bundle: ContactBundle, n_cars: int):
         n_imp = n_imp.at[:, k].set(new)
         v, w = apply_point(v, w, k, lam, n)
 
-    bundle = bundle._replace(normal_imp=n_imp, tangent_imp=t_imp)
-    return unflatten_vel(v, w, n_cars), bundle
+    return unflatten_vel(v, w, n_cars), n_imp, t_imp
 
 
 def position_pass(pos: Positions, bundle: ContactBundle, n_cars: int):

@@ -112,11 +112,11 @@ def init_constraints(state: CarState, motor_speed: jnp.ndarray):
     return state, JointData(r_a=r_a, limit_state=new_ls, motor_speed=motor_speed)
 
 
-def warm_start(vel: Velocities, data: JointData, state: CarState) -> Velocities:
+def warm_start(vel: Velocities, data: JointData, joint_imp, motor_imp) -> Velocities:
     """Apply accumulated impulses (dtRatio == 1: fixed dt)."""
     hull_v, hull_w, wheel_v, wheel_w = vel
-    p = state.joint_impulse[..., 0:2]                 # (N, 4, 2)
-    ang = state.motor_impulse + state.joint_impulse[..., 2]
+    p = joint_imp[..., 0:2]                           # (N, 4, 2)
+    ang = motor_imp + joint_imp[..., 2]
     hull_v = hull_v - _MA * jnp.sum(p, axis=1)
     hull_w = hull_w - _IA * jnp.sum(_cross_vv(data.r_a, p) + ang, axis=1)
     wheel_v = wheel_v + _MB * p
@@ -124,12 +124,15 @@ def warm_start(vel: Velocities, data: JointData, state: CarState) -> Velocities:
     return Velocities(hull_v, hull_w, wheel_v, wheel_w)
 
 
-def solve_velocity(vel: Velocities, data: JointData, state: CarState, dt: float):
+def solve_velocity(vel: Velocities, data: JointData, joint_imp, motor_imp, dt: float):
     """One velocity iteration: the four joints of each car solved
-    sequentially (Gauss-Seidel), all cars in parallel."""
+    sequentially (Gauss-Seidel), all cars in parallel.
+
+    Carries only the mutating arrays (velocities + impulse accumulators) —
+    NOT the whole CarState — so a ``fori_loop`` over this function moves the
+    minimum number of bytes per iteration (the difference is 30x+ HBM traffic
+    inside scanned rollouts; see world_step)."""
     hull_v, hull_w, wheel_v, wheel_w = vel
-    joint_imp = state.joint_impulse
-    motor_imp = state.motor_impulse
     max_motor = dt * C.STEER_JOINT_MAX_MOTOR_TORQUE
 
     for k in range(4):
@@ -216,8 +219,7 @@ def solve_velocity(vel: Velocities, data: JointData, state: CarState, dt: float)
         wheel_w = wheel_w.at[:, k].set(w_w)
 
     vel = Velocities(hull_v, hull_w, wheel_v, wheel_w)
-    state = state.replace(joint_impulse=joint_imp, motor_impulse=motor_imp)
-    return vel, state
+    return vel, joint_imp, motor_imp
 
 
 def solve_position(pos: Positions, data: JointData) -> Positions:

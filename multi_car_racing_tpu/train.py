@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--updates", type=int, default=20)
     ap.add_argument("--num-envs", type=int, default=256)
     ap.add_argument("--rollout", type=int, default=64)
+    ap.add_argument("--pool-size", type=int, default=32,
+                    help="autoreset track-pool size")
     ap.add_argument("--num-agents", type=int, default=2)
     ap.add_argument("--obs", choices=["state", "pixels"], default="state")
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -50,7 +52,7 @@ def main():
     env_cfg = C.EnvConfig(num_agents=args.num_agents, **env_kw)
     ppo_cfg = ppo.PPOConfig(
         rollout_len=args.rollout, num_envs=args.num_envs, lr=args.lr,
-        obs_type=args.obs,
+        obs_type=args.obs, pool_size=args.pool_size,
     )
 
     mesh = pmesh.make_mesh()
