@@ -65,29 +65,29 @@ def main():
         jnp.float32,
     )  # (8, E, 2, 3) — cycled
 
-    # Production stepping mode: one dispatch per env step with the state
-    # buffers DONATED — exactly how a serving/rollout loop drives the env
-    # (policy inference between steps). Donation lets XLA update the state
-    # in place; without it (and inside lax.scan bodies, whatever the carry
-    # slimming) the same program runs ~30x slower on TPU — measured 0.44 vs
-    # 15.4 ms/step at 4096x2 (see docs/COVERAGE.md perf notes).
-    @partial(jax.jit, donate_argnums=0)
-    def step_once(state, a):
-        state, r, d = step(state, a)
-        return state, r.mean()
+    # Scanned rollout — the PPO training shape (learner/ppo.py): T steps in
+    # ONE dispatch. With the fused Pallas physics kernel (physics/
+    # pallas_world.py) this is the fastest stepping mode; a donated
+    # step-per-dispatch loop pays ~2.5 ms/step of dispatch overhead on top.
+    @jax.jit
+    def rollout(state):
+        def body(carry, t):
+            state = carry
+            a = actions[t % 8]
+            state, r, d = step(state, a)
+            return state, r.mean()
 
-    # Warmup/compile (donates `batched`).
+        state, rews = jax.lax.scan(body, state, jnp.arange(T))
+        return state, rews
+
+    # Warmup/compile.
     t0 = time.time()
-    state, r = step_once(batched, actions[0])
-    jax.block_until_ready(r)
+    out_state, rews = rollout(batched)
+    jax.block_until_ready(rews)
     compile_s = time.time() - t0
 
     t0 = time.time()
-    rews = []
-    for t in range(T):
-        state, r = step_once(state, actions[t % 8])
-        rews.append(r)
-    rews = jnp.stack(rews)
+    out_state, rews = rollout(out_state)
     jax.block_until_ready(rews)
     elapsed = time.time() - t0
 

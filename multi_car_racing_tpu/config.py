@@ -148,6 +148,12 @@ class EnvConfig:
     max_track_retries: int = 12       # rejection-resampling bound (reference retries forever)
     velocity_iters: int = VELOCITY_ITERS
     position_iters: int = POSITION_ITERS
+    # Constraint-solver backend for *batched* (vmapped) stepping:
+    # 'auto'   = fused Pallas kernel on a single TPU chip, XLA elsewhere;
+    # 'xla'    = always the jnp solver (physics/world.py);
+    # 'pallas' = always the kernel (interpreted off-TPU — slow, for tests).
+    # Unbatched stepping always uses the XLA solver.
+    solver: str = "auto"
     obs_type: str = "pixels"          # 'pixels' | 'state' | 'none'
     max_episode_steps: int = MAX_EPISODE_STEPS
     auto_reset: bool = False          # regenerate track + respawn on done (batched mode)
@@ -158,6 +164,8 @@ class EnvConfig:
             raise ValueError(f"direction must be 'CCW' or 'CW', got {self.direction!r}")
         if self.obs_type not in ("pixels", "state", "none"):
             raise ValueError(f"bad obs_type {self.obs_type!r}")
+        if self.solver not in ("auto", "xla", "pallas"):
+            raise ValueError(f"bad solver {self.solver!r}")
         if self.num_agents < 1:
             raise ValueError("num_agents must be >= 1")
 

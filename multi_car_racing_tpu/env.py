@@ -25,7 +25,7 @@ divergence, exercised mainly for the two spawn tiles.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -127,46 +127,122 @@ def _visit_rewards(state: EnvState, car_tile: jnp.ndarray, num_agents: int):
     return state.replace(reward=reward, visited=visited, tile_visited_count=count)
 
 
-def _physics_and_contacts(state: EnvState, num_agents: int,
-                          velocity_iters: int, position_iters: int,
-                          exact_hull_touch: bool = False,
-                          track_skid: bool = False):
-    """Stages 2-4: tire forces (lagged mask), contact pass + rewards, solve."""
+@lru_cache(maxsize=None)
+def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
+                 solver: str):
+    """Physics stage (tire model + Collide pass + constraint solve) with a
+    batching rule.
+
+    Unbatched calls (the gym facade's single env) run the XLA pipeline
+    (physics/{tire,collide,world}.py). Under ``vmap`` — every batched
+    rollout — the rule dispatches the WHOLE batch to the fused Pallas
+    mega-kernel (physics/pallas_world.py) on a single TPU chip: the tire
+    model, the b2CollidePolygons manifolds, and the 240 sequential
+    Gauss-Seidel solve iterations all stay VMEM-resident in one program
+    instead of paying per-op dispatch + HBM round-trips (18 ms -> ~4 ms per
+    step at 4096x2 envs). Multi-device meshes keep the XLA pipeline (GSPMD
+    partitions it; a Pallas call would need an explicit shard_map)."""
+    from jax import custom_batching
+    from .physics import pallas_world, world as pworld
+
+    n = num_agents
+
+    def _single(cars, lagged_on_road, contact_state):
+        cars, force, motor, skid_flag = tire.tire_step(cars, lagged_on_road)
+        if n > 1:
+            man = collide.collide(cars, n)
+            bundle = collide.make_bundle(man, contact_state, cars, n)
+            new_cars, new_bundle = pworld.world_step(
+                cars, force, motor,
+                velocity_iters=velocity_iters, position_iters=position_iters,
+                contacts=bundle,
+            )
+            new_cs = collide.ContactState(
+                normal_imp=new_bundle.normal_imp,
+                tangent_imp=new_bundle.tangent_imp,
+                ids=man.ids,
+            )
+        else:
+            new_cars = pworld.world_step(
+                cars, force, motor,
+                velocity_iters=velocity_iters, position_iters=position_iters,
+            )
+            new_cs = contact_state
+        return new_cars, skid_flag, new_cs
+
+    @custom_batching.custom_vmap
+    def solve(cars, lagged_on_road, contact_state):
+        return _single(cars, lagged_on_road, contact_state)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, cars, lagged_on_road, contact_state):
+        # Leaves that are constants w.r.t. the vmapped axis (e.g. the zero
+        # initial velocities inside a vmapped reset) arrive unbatched —
+        # broadcast them so the whole batch is axis-0 uniform.
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        cars, lagged_on_road, contact_state = (
+            jax.tree_util.tree_map(bcast, arg, flags)
+            for arg, flags in zip(
+                (cars, lagged_on_road, contact_state), in_batched
+            )
+        )
+        mode = solver
+        if mode == "auto":
+            mode = (
+                "pallas"
+                if jax.default_backend() == "tpu" and jax.device_count() == 1
+                else "xla"
+            )
+        if mode == "pallas":
+            interpret = jax.default_backend() != "tpu"
+            new_cars, skid, new_cs = pallas_world.step_physics_batched(
+                cars, lagged_on_road, contact_state, n,
+                velocity_iters=velocity_iters, position_iters=position_iters,
+                interpret=interpret,
+            )
+            if n == 1:
+                new_cs = contact_state
+            out = (new_cars, skid, new_cs)
+        else:
+            out = jax.vmap(_single)(cars, lagged_on_road, contact_state)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    return solve
+
+
+def _physics_and_contacts(state: EnvState, cfg: Cfg.EnvConfig):
+    """Stages 2-4: contact pass + rewards on pre-step poses, then the fused
+    physics stage (tire forces from the lagged mask, car-car manifolds,
+    constraint solve + integration)."""
+    num_agents = cfg.num_agents
     lagged_on_road = state.wheel_on_road
-    cars, force, motor, skid_flag = tire.tire_step(state.cars, lagged_on_road)
-    state = state.replace(cars=cars)
-    if track_skid:
-        # Trails record the tire-model positions/flags (cd:232-249).
+
+    # Tile overlap uses only positions, which the tire stage never moves —
+    # run it first so the physics stage is one fused call.
+    wheel_on_road, car_tile, touched = _contact_pass(state, cfg.exact_hull_touch)
+    state = _visit_rewards(state, car_tile, num_agents)
+
+    solve = _make_solver(
+        num_agents, cfg.velocity_iters, cfg.position_iters, cfg.solver
+    )
+    cars, skid_flag, new_cs = solve(state.cars, lagged_on_road, state.contacts)
+
+    if cfg.track_skid:
+        # Trails record the tire-model positions/flags (cd:232-249):
+        # pre-solve wheel positions, post-tire skid flags.
         state = state.replace(
             skid=particles.update(
-                state.skid, cars.wheel_c, skid_flag, lagged_on_road
+                state.skid, state.cars.wheel_c, skid_flag, lagged_on_road
             )
         )
 
-    wheel_on_road, car_tile, touched = _contact_pass(state, exact_hull_touch)
-    state = _visit_rewards(state, car_tile, num_agents)
-    state = state.replace(
-        wheel_on_road=wheel_on_road,
-        tile_touched=state.tile_touched | touched,
-    )
-
-    if num_agents > 1:
-        # Car-car manifolds from pre-solve poses (Box2D's Collide pass).
-        man = collide.collide(state.cars, num_agents)
-        bundle = collide.make_bundle(man, state.contacts, state.cars, num_agents)
-        cars, bundle = world.world_step(
-            state.cars, force, motor,
-            velocity_iters=velocity_iters, position_iters=position_iters,
-            contacts=bundle,
-        )  # contact sub-passes capped at convergence (CONTACT_*_ITERS)
-        state = state.replace(contacts=collide.extract_state(bundle))
-    else:
-        cars = world.world_step(
-            state.cars, force, motor,
-            velocity_iters=velocity_iters, position_iters=position_iters,
-        )
     return state.replace(
         cars=cars,
+        contacts=new_cs,
+        wheel_on_road=wheel_on_road,
+        tile_touched=state.tile_touched | touched,
         t=state.t + C.DT,
         steps=state.steps + 1,
     )
@@ -251,10 +327,7 @@ def reset_from_parts(
     cars = create_cars(pos, angle)
     state = _episode_start(cars, track, direction_cw, n)
     # step(None): physics + contacts only — no action, no reward stage.
-    return _physics_and_contacts(
-        state, n, cfg.velocity_iters, cfg.position_iters, cfg.exact_hull_touch,
-        cfg.track_skid,
-    )
+    return _physics_and_contacts(state, cfg)
 
 
 def step(cfg: Cfg.EnvConfig, state: EnvState, action: jnp.ndarray):
@@ -265,10 +338,7 @@ def step(cfg: Cfg.EnvConfig, state: EnvState, action: jnp.ndarray):
     """
     cars = apply_controls(state.cars, jnp.asarray(action, state.reward.dtype))
     state = state.replace(cars=cars)
-    state = _physics_and_contacts(
-        state, cfg.num_agents, cfg.velocity_iters, cfg.position_iters,
-        cfg.exact_hull_touch, cfg.track_skid,
-    )
+    state = _physics_and_contacts(state, cfg)
     return _post_step(state, cfg)
 
 

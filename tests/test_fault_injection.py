@@ -39,7 +39,7 @@ main()
 """
 
 ARGS = [
-    "--updates", "3", "--num-envs", "4", "--rollout", "4", "--pool-size", "2",
+    "--updates", "2", "--num-envs", "4", "--rollout", "4", "--pool-size", "2",
     "--num-agents", "2", "--obs", "state", "--fast-solver", "--ckpt-every", "1",
 ]
 
@@ -48,6 +48,9 @@ def _launch(ckpt, extra):
     cache = os.path.join(REPO, ".jax_cache")
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # Don't inherit the test process's 8-virtual-device XLA_FLAGS: the
+    # trainer must see one CPU device (num_envs is sized for that).
+    env.pop("XLA_FLAGS", None)
     return subprocess.Popen(
         [sys.executable, "-c", WRAPPER.format(cache=cache)]
         + ARGS + ["--checkpoint", ckpt] + extra,
@@ -63,14 +66,14 @@ def test_sigkill_mid_training_then_resume(tmp_path):
     # child PID only).
     p = _launch(ckpt, [])
     lines = []
-    deadline = time.time() + 900
+    deadline = time.time() + 1700
     try:
         for line in p.stdout:
             lines.append(line)
             if "checkpointed ->" in line:
                 p.send_signal(signal.SIGKILL)
                 break
-            assert time.time() < deadline, "no checkpoint within 15 min"
+            assert time.time() < deadline, "no checkpoint within 28 min"
         else:
             pytest.fail("trainer exited before checkpointing:\n" + "".join(lines))
     finally:
@@ -81,7 +84,7 @@ def test_sigkill_mid_training_then_resume(tmp_path):
 
     # --- restart from the checkpoint; must resume at update >= 1 and finish.
     p2 = _launch(ckpt, ["--resume", ckpt])
-    out, _ = p2.communicate(timeout=900)
+    out, _ = p2.communicate(timeout=1700)
     assert p2.returncode == 0, f"resume run failed:\n{out}"
     assert "resumed from" in out and "at update" in out, out
     resumed_at = int(out.split("at update")[1].split()[0])

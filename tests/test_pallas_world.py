@@ -1,0 +1,176 @@
+"""Differential tests: fused Pallas solver (physics/pallas_world.py) vs the
+XLA solver (physics/world.py) it mirrors. Run in the Pallas interpreter on
+the CPU test mesh; the same kernel compiles via Mosaic on TPU (verified on
+hardware: max deviation 2e-11 at 4096x2 envs).
+
+Reduced iteration counts keep the interpreter fast; the iteration structure
+(interleaved contacts, limit-state transitions, warm starting) is identical
+at any count."""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multi_car_racing_tpu import config as C, env as tenv, seeding
+from multi_car_racing_tpu.physics import collide, tire, world, pallas_world
+
+VI, PI = 30, 12
+
+
+def _batched_state(num_agents, n_envs, steps=10, gas=0.8, steer=0.3):
+    cfg = C.EnvConfig(num_agents=num_agents, velocity_iters=VI,
+                      position_iters=PI, solver="xla")
+    states = [
+        tenv.host_reset(cfg, seed=s, global_stream=seeding.GlobalStream(s))[0]
+        for s in range(n_envs)
+    ]
+    st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    step = jax.jit(jax.vmap(partial(tenv.step, cfg)))
+    a = jnp.tile(
+        jnp.asarray([[steer, gas, 0.0]], jnp.float32), (n_envs, num_agents, 1)
+    )
+    for _ in range(steps):
+        st, _, _ = step(st, a)
+    return st
+
+
+def _solve_both(st, n):
+    cars, force, motor, _ = jax.vmap(tire.tire_step)(st.cars, st.wheel_on_road)
+    if n > 1:
+        man = jax.vmap(lambda c: collide.collide(c, n))(cars)
+        bundle = jax.vmap(lambda m, cs, c: collide.make_bundle(m, cs, c, n))(
+            man, st.contacts, cars
+        )
+        ref_cars, ref_bundle = jax.vmap(
+            lambda c, f, m, b: world.world_step(
+                c, f, m, velocity_iters=VI, position_iters=PI, contacts=b
+            )
+        )(cars, force, motor, bundle)
+        ref_imp = (ref_bundle.normal_imp, ref_bundle.tangent_imp)
+    else:
+        bundle = None
+        ref_cars = jax.vmap(
+            lambda c, f, m: world.world_step(
+                c, f, m, velocity_iters=VI, position_iters=PI
+            )
+        )(cars, force, motor)
+        ref_imp = None
+    pal_cars, pal_imp = pallas_world.world_step_batched(
+        cars, force, motor, bundle, n,
+        velocity_iters=VI, position_iters=PI, interpret=True,
+    )
+    return ref_cars, ref_imp, pal_cars, pal_imp
+
+
+def _assert_close(name, a, b, tol=5e-4):
+    a, b = np.asarray(a), np.asarray(b)
+    scale = max(1.0, float(np.abs(a).max()))
+    d = float(np.abs(a - b).max())
+    assert d <= tol * scale, f"{name}: maxabs {d} (scale {scale})"
+
+
+FIELDS = ("hull_c", "hull_a", "hull_v", "hull_w", "wheel_c", "wheel_a",
+          "wheel_v", "wheel_w", "joint_impulse", "motor_impulse")
+
+
+def test_kernel_matches_xla_joints_only():
+    st = _batched_state(num_agents=1, n_envs=4, steps=12)
+    ref_cars, _, pal_cars, _ = _solve_both(st, 1)
+    for f in FIELDS:
+        _assert_close(f, getattr(ref_cars, f), getattr(pal_cars, f))
+    assert bool((ref_cars.limit_state == pal_cars.limit_state).all())
+
+
+def test_kernel_matches_xla_with_contacts():
+    # The rear-end ram from test_collide: by step ~110 the two cars' hulls
+    # are in persistent contact with warm-started impulses.
+    N = 4
+    cfg = C.EnvConfig(num_agents=N, velocity_iters=VI, position_iters=PI,
+                      solver="xla")
+    state, _ = tenv.host_reset(cfg, seed=11, global_stream=seeding.GlobalStream(5))
+    gs = seeding.GlobalStream(5)
+    gs.direction()
+    order = list(gs.car_order(N))
+    acts = np.zeros((N, 3), np.float32)
+    acts[order.index(2)] = [0.0, 1.0, 0.0]
+    step = jax.jit(partial(tenv.step, cfg))
+    for _ in range(110):
+        state, _, _ = step(state, jnp.asarray(acts))
+    st = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), state)
+
+    ref_cars, ref_imp, pal_cars, pal_imp = _solve_both(st, N)
+    assert float(jnp.abs(ref_imp[0]).max()) > 0.1, "setup produced no contact"
+    for f in FIELDS:
+        _assert_close(f, getattr(ref_cars, f), getattr(pal_cars, f))
+    _assert_close("normal_imp", ref_imp[0], pal_imp[0])
+    _assert_close("tangent_imp", ref_imp[1], pal_imp[1])
+
+
+def test_mega_kernel_matches_xla_pipeline_with_contacts():
+    """step_physics_batched (tire + Collide + solve fused) vs the XLA
+    pipeline, on a state with live car-car contacts."""
+    N = 4
+    cfg = C.EnvConfig(num_agents=N, velocity_iters=VI, position_iters=PI,
+                      solver="xla")
+    state, _ = tenv.host_reset(cfg, seed=11, global_stream=seeding.GlobalStream(5))
+    gs = seeding.GlobalStream(5)
+    gs.direction()
+    order = list(gs.car_order(N))
+    acts = np.zeros((N, 3), np.float32)
+    acts[order.index(2)] = [0.0, 1.0, 0.0]
+    step = jax.jit(partial(tenv.step, cfg))
+    for _ in range(110):
+        state, _, _ = step(state, jnp.asarray(acts))
+    st = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), state)
+
+    def xla_pipeline(cars, onroad, cs):
+        cars2, force, motor, skid = tire.tire_step(cars, onroad)
+        man = collide.collide(cars2, N)
+        bundle = collide.make_bundle(man, cs, cars2, N)
+        new_cars, new_bundle = world.world_step(
+            cars2, force, motor, velocity_iters=VI, position_iters=PI,
+            contacts=bundle,
+        )
+        return new_cars, skid, (new_bundle.normal_imp, new_bundle.tangent_imp,
+                                man.ids)
+
+    ref_cars, ref_skid, ref_cs = jax.vmap(xla_pipeline)(
+        st.cars, st.wheel_on_road, st.contacts
+    )
+    pal_cars, pal_skid, pal_cs = pallas_world.step_physics_batched(
+        st.cars, st.wheel_on_road, st.contacts, N,
+        velocity_iters=VI, position_iters=PI, interpret=True,
+    )
+    assert float(jnp.abs(ref_cs[0]).max()) > 0.1, "setup produced no contact"
+    for f in FIELDS + ("spin", "phase", "fuel_spent"):
+        _assert_close(f, getattr(ref_cars, f), getattr(pal_cars, f))
+    assert bool((ref_skid == pal_skid).all())
+    assert bool((ref_cs[2] == pal_cs.ids).all()), "manifold ids differ"
+    _assert_close("normal_imp", ref_cs[0], pal_cs.normal_imp)
+    _assert_close("tangent_imp", ref_cs[1], pal_cs.tangent_imp)
+
+
+def test_solver_dispatch_reward_parity():
+    """Full env steps: solver='pallas' (interpreted) must produce the exact
+    same rewards/done as solver='xla' through the custom_vmap dispatch."""
+    E = 3
+    rewards = {}
+    for solver in ("xla", "pallas"):
+        cfg = C.EnvConfig(num_agents=2, velocity_iters=VI, position_iters=PI,
+                          solver=solver)
+        states = [
+            tenv.host_reset(cfg, seed=s, global_stream=seeding.GlobalStream(s))[0]
+            for s in range(E)
+        ]
+        st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+        step = jax.jit(jax.vmap(partial(tenv.step, cfg)))
+        a = jnp.tile(jnp.asarray([[0.2, 0.7, 0.0]], jnp.float32), (E, 2, 1))
+        acc = []
+        for _ in range(8):
+            st, r, d = step(st, a)
+            acc.append(np.asarray(r))
+        rewards[solver] = np.stack(acc)
+    np.testing.assert_allclose(rewards["xla"], rewards["pallas"], atol=1e-5)
