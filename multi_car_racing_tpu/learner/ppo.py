@@ -57,9 +57,7 @@ class TrainState:
 def _observe(env_cfg, ppo_cfg, env_state):
     if ppo_cfg.obs_type == "state":
         return jax.vmap(tobs.state_observation)(env_state)       # (E, N, D)
-    from ..render import raster
-
-    return jax.vmap(partial(raster.render_observation, env_cfg))(env_state)
+    return tobs.pixel_observation_batched(env_cfg, env_state)
 
 
 def init_train_state(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, key) -> TrainState:

@@ -79,3 +79,21 @@ def state_observation(state: EnvState) -> jnp.ndarray:
         ],
         axis=-1,
     )
+
+
+def pixel_observation_batched(cfg, state) -> jnp.ndarray:
+    """Batched pixel observations (E, N, 96, 96, 3) uint8.
+
+    Dispatches to the Pallas rasterization kernel on a single TPU chip
+    (render/pallas_raster.py — measured 22x the XLA painter at 2048 views)
+    and to the windowed XLA painter elsewhere (CPU tests, multi-device
+    meshes where a Pallas call would need shard_map)."""
+    import jax
+    from functools import partial
+    from .render import raster
+
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        from .render import pallas_raster
+
+        return pallas_raster.render_pixels(cfg, state)
+    return jax.vmap(partial(raster.render_observation, cfg))(state)

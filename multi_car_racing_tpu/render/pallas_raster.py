@@ -69,12 +69,16 @@ def _view_inputs(cfg, state, n):
             trans.reshape((n,) + (1,) * extra_dims + (2,)),
         )
 
-    # --- camera scalars for the background.
+    # --- camera scalars for the background; slot 5 flags the first-second
+    # zoom-out (mcr:540), during which the kernel paints the FULL track in
+    # world space instead of the windowed slots (far segments would
+    # otherwise be missing from warmup frames).
     ca, sa = jnp.cos(angles), jnp.sin(angles)
+    warm = (zoom < 0.999 * C.ZOOM * C.SCALE).astype(f32) * jnp.ones_like(ca)
     cam = jnp.stack(
         [ca, sa, trans[:, 0], trans[:, 1],
          1.0 / zoom * jnp.ones_like(ca),
-         jnp.zeros_like(ca), jnp.zeros_like(ca), jnp.zeros_like(ca)],
+         warm, jnp.zeros_like(ca), jnp.zeros_like(ca)],
         axis=-1,
     )[:, None, :]                                                # (N, 1, 8)
 
@@ -227,14 +231,21 @@ def _view_inputs(cfg, state, n):
         [bits, jnp.zeros((n, 4, 1), i32)], axis=-1
     )                                                            # (N, 4, 8)
 
-    return cam, quad_slots, poly_slots, rect_slots, score_bits
+    # --- per-env full-track metadata for the warmup world-space pass.
+    tmeta = jnp.stack(
+        [tile_pal.astype(f32), curb_pal.astype(f32),
+         track.valid.astype(f32), track.has_curb.astype(f32)],
+        axis=-1,
+    )                                                            # (MT, 4)
+    return cam, quad_slots, poly_slots, rect_slots, score_bits, tmeta
 
 
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(cam_ref, quad_ref, poly_ref, rect_ref, score_ref, out_ref, idx, wxs, wys):
+def _kernel(cam_ref, quad_ref, poly_ref, rect_ref, score_ref,
+            tq_ref, cq_ref, tmeta_ref, out_ref, idx, wxs, wys, gxs, gys):
     f32 = jnp.float32
     row = jax.lax.broadcasted_iota(jnp.int32, (H, WPAD), 0).astype(f32)
     col = jax.lax.broadcasted_iota(jnp.int32, (H, WPAD), 1).astype(f32)
@@ -253,6 +264,8 @@ def _kernel(cam_ref, quad_ref, poly_ref, rect_ref, score_ref, out_ref, idx, wxs,
     dy = wy - ty
     gx = (ca * dx + sa * dy) * inv_zoom
     gy = (-sa * dx + ca * dy) * inv_zoom
+    gxs[:, :] = gx
+    gys[:, :] = gy
     k = C.PLAYFIELD / 20.0
     ix = jnp.floor(gx / k)
     iy = jnp.floor(gy / k)
@@ -265,6 +278,8 @@ def _kernel(cam_ref, quad_ref, poly_ref, rect_ref, score_ref, out_ref, idx, wxs,
     base = jnp.where(infield, R.PAL_GRASS_DARK, base)
     base = jnp.where(infield & lighter, R.PAL_GRASS_LIGHT, base)
     idx[:, :] = base
+
+    warmup = cam_ref[0, 0, 5] > 0.0
 
     def edge_cov(bx, by, ax, ay, wxb, wyb):
         c1 = by - ay
@@ -297,11 +312,55 @@ def _kernel(cam_ref, quad_ref, poly_ref, rect_ref, score_ref, out_ref, idx, wxs,
             idx[pl.ds(r0, BAND), :] = jnp.where(cov, pal, cur)
 
     # --- road tiles + curbs.
-    def quad_body(t, _):
-        paint_poly(quad_ref, t, 4, 8, 9, 10)
-        return 0
+    # Steady state: windowed slots (banded). During the first-second
+    # zoom-out: the FULL track painted in world space (creation order —
+    # tile i then its curb, mcr:309-334), since the windows cover only the
+    # tiles near the car while most of the track is visible.
+    @pl.when(jnp.logical_not(warmup))
+    def _():
+        def quad_body(t, _):
+            paint_poly(quad_ref, t, 4, 8, 9, 10)
+            return 0
 
-    jax.lax.fori_loop(0, SQ, quad_body, 0)
+        jax.lax.fori_loop(0, SQ, quad_body, 0)
+
+    @pl.when(warmup)
+    def _():
+        gxb = gxs[:, :]
+        gyb = gys[:, :]
+
+        def lanes(x11):
+            # Mosaic can't broadcast (1,1)->(H,WPAD) in one op ("broadcast in
+            # both sublanes and lanes"); widen lanes first.
+            return jnp.broadcast_to(x11, (1, WPAD))
+
+        def world_quad(qrow, pal1, mask1):
+            # qrow (1, 8) world verts; pal1/mask1 (1, 1) — everything stays a
+            # vector (no scalar loads; VMEM scalars are SMEM-only in Mosaic).
+            pos = neg = None
+            for v in range(4):
+                ax = lanes(qrow[:, 2 * v:2 * v + 1])
+                ay = lanes(qrow[:, 2 * v + 1:2 * v + 2])
+                nxt = (v + 1) % 4
+                bx = lanes(qrow[:, 2 * nxt:2 * nxt + 1])
+                by = lanes(qrow[:, 2 * nxt + 1:2 * nxt + 2])
+                p, q = edge_cov(bx, by, ax, ay, gxb, gyb)
+                pos = p if pos is None else pos & p
+                neg = q if neg is None else neg & q
+            cov = (pos | neg) & (lanes(mask1) > 0.0)
+            idx[:, :] = jnp.where(cov, lanes(pal1).astype(jnp.int32), idx[:, :])
+
+        def far_body(t, _):
+            meta = tmeta_ref[0, pl.ds(t, 1), :]        # (1, 4)
+            world_quad(
+                tq_ref[0, pl.ds(t, 1), :], meta[:, 0:1], meta[:, 2:3]
+            )
+            world_quad(
+                cq_ref[0, pl.ds(t, 1), :], meta[:, 1:2], meta[:, 3:4]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, tq_ref.shape[1], far_body, 0)
 
     # --- cars + backwards triangle.
     n_poly = poly_ref.shape[1]
@@ -358,17 +417,28 @@ def render_pixels(cfg, state, interpret: bool = False):
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
     """
     n = cfg.num_agents
-    cam, quads, polys, rects, score = jax.vmap(
+    cam, quads, polys, rects, score, tmeta = jax.vmap(
         lambda s: _view_inputs(cfg, s, n)
     )(state)
     E = cam.shape[0]
     V = E * n
+    mt = state.track.max_tiles
+    tq = state.track.quad.reshape(E, mt, 8).astype(jnp.float32)
+    cq = state.track.curb_quad.reshape(E, mt, 8).astype(jnp.float32)
 
     def flat(x):
         return x.reshape((V,) + x.shape[2:])
 
     cam, quads, polys, rects, score = map(flat, (cam, quads, polys, rects, score))
     sp = polys.shape[1]
+
+    def env_spec(rows, width):
+        # Per-ENV block (views of one env share the track): program v reads
+        # env v // n.
+        return pl.BlockSpec(
+            (1, rows, width), lambda v: (v // n, 0, 0),
+            memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+        )
 
     out = pl.pallas_call(
         _kernel,
@@ -380,6 +450,9 @@ def render_pixels(cfg, state, interpret: bool = False):
             pl.BlockSpec((1, sp, 20), lambda v: (v, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, SR, 8), lambda v: (v, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4, 8), lambda v: (v, 0, 0), memory_space=pltpu.SMEM),
+            env_spec(mt, 8),
+            env_spec(mt, 8),
+            env_spec(mt, 4),
         ],
         out_specs=pl.BlockSpec((1, H, WPAD), lambda v: (v, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -387,9 +460,11 @@ def render_pixels(cfg, state, interpret: bool = False):
             pltpu.VMEM((H, WPAD), jnp.int32),
             pltpu.VMEM((H, WPAD), jnp.float32),
             pltpu.VMEM((H, WPAD), jnp.float32),
+            pltpu.VMEM((H, WPAD), jnp.float32),
+            pltpu.VMEM((H, WPAD), jnp.float32),
         ],
         interpret=interpret,
-    )(cam, quads, polys, rects, score)
+    )(cam, quads, polys, rects, score, tq, cq, tmeta)
 
     # Palette expansion + crop pad lanes.
     idx = out[:, :, :W]

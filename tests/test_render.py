@@ -134,3 +134,31 @@ def test_skid_particles_recorded_and_drawn():
     assert (rgb != no_part).any(), "rgb_array should include trails"
     sp_no = np.asarray(jax.jit(_p(_r.render_observation, env.cfg))(env.state))[0]
     np.testing.assert_array_equal(sp, sp_no)
+
+
+def test_pallas_kernel_warmup_far_track_exact():
+    """During the first-second zoom-out the kernel paints the FULL track in
+    world space; frames must equal the oracle exactly (the windowed painter
+    documents missing far segments here — the kernel does not)."""
+    from multi_car_racing_tpu.render import pallas_raster, xla_raster
+
+    cfg = C.EnvConfig(num_agents=2)
+    state, _ = tenv.host_reset(cfg, seed=11, global_stream=seeding.GlobalStream(5))
+    step = jax.jit(partial(tenv.step, cfg))
+    for _ in range(10):
+        state, _, _ = step(state, jnp.zeros((2, 3)))
+    assert float(state.t) < 1.0, "not a warmup frame"
+    st = jax.tree_util.tree_map(lambda x: jnp.stack([x]), state)
+    oracle = np.asarray(jax.jit(partial(xla_raster.render_observation, cfg))(state))
+    prod = np.asarray(pallas_raster.render_pixels(cfg, st, interpret=True))[0]
+    np.testing.assert_array_equal(prod, oracle)
+
+
+def test_pallas_kernel_matches_oracle_postwarmup(driven_state):
+    from multi_car_racing_tpu.render import pallas_raster, xla_raster
+
+    cfg, state = driven_state
+    st = jax.tree_util.tree_map(lambda x: jnp.stack([x]), state)
+    oracle = np.asarray(jax.jit(partial(xla_raster.render_observation, cfg))(state))
+    prod = np.asarray(pallas_raster.render_pixels(cfg, st, interpret=True))[0]
+    np.testing.assert_array_equal(prod, oracle)
