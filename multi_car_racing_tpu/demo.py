@@ -7,9 +7,11 @@ exactly like the reference loop.
 
     python -m multi_car_racing_tpu.demo --steps 400 --out /tmp/mcr.gif
     python -m multi_car_racing_tpu.demo --policy random
+    python -m multi_car_racing_tpu.demo --interactive   # keyboard play (tui.py)
 
-With a display and matplotlib, --interactive maps arrow/WASD keys per the
-reference's CAR_CONTROL_KEYS.
+``--interactive`` needs only a TTY: the per-agent view renders as ANSI
+truecolor half-blocks and arrows/WASD drive the cars with the reference's
+bindings (tui.py).
 """
 
 from __future__ import annotations
@@ -42,7 +44,18 @@ def main():
     ap.add_argument("--out", default="/tmp/multi_car_racing.gif")
     ap.add_argument("--view", type=int, default=0, help="agent view to record")
     ap.add_argument("--every", type=int, default=2, help="record every k frames")
+    ap.add_argument("--interactive", action="store_true",
+                    help="keyboard play in the terminal (ANSI rendering; "
+                         "arrows car 0, WASD car 1 — see tui.py)")
     args = ap.parse_args()
+
+    if args.interactive:
+        from . import tui
+
+        total = tui.play(num_agents=args.num_cars, seed=args.seed,
+                         view=args.view, every=args.every)
+        print("final returns:", total)
+        return
 
     from . import gym_api
 

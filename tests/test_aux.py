@@ -64,3 +64,19 @@ def test_checkpoint_roundtrip_env_state(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(a.cars.hull_c), np.asarray(b.cars.hull_c)
     )
+
+
+def test_tui_frame_and_keymap():
+    """Terminal-play helpers: ANSI frame structure + reference key bindings."""
+    from multi_car_racing_tpu import tui
+
+    img = np.zeros((96, 96, 3), np.uint8)
+    img[0, 0] = (255, 0, 0)
+    s = tui.frame_to_ansi(img)
+    assert s.count("\n") == 47                  # 96 rows -> 48 half-block lines
+    assert "38;2;255;0;0" in s                  # top-left red fg
+    now = 0.0
+    held = {"UP": 1.0, "a": 1.0, "s": 1.0}      # car0 gas, car1 left+brake
+    a = tui.actions_from_keys(held, 2, now)
+    assert a[0, 1] == 1.0 and a[0, 0] == 0.0
+    assert a[1, 0] == -1.0 and a[1, 2] == np.float32(0.8)
