@@ -136,13 +136,16 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
     Unbatched calls (the gym facade's single env) run the XLA pipeline
     (physics/{tire,collide,world}.py). Under ``vmap`` — every batched
     rollout — the rule dispatches the WHOLE batch to the fused Pallas
-    mega-kernel (physics/pallas_world.py) on a single TPU chip: the tire
-    model, the b2CollidePolygons manifolds, and the 240 sequential
-    Gauss-Seidel solve iterations all stay VMEM-resident in one program
-    instead of paying per-op dispatch + HBM round-trips (18 ms -> ~4 ms per
-    step at 4096x2 envs). Multi-device meshes keep the XLA pipeline (GSPMD
-    partitions it; a Pallas call would need an explicit shard_map)."""
+    mega-kernel (physics/pallas_world.py): the tire model, the
+    b2CollidePolygons manifolds, and the 240 sequential Gauss-Seidel solve
+    iterations all stay VMEM-resident in one program instead of paying
+    per-op dispatch + HBM round-trips (18 ms -> ~4 ms per step at 4096x2
+    envs). Under a multi-device mesh (``jax.set_mesh``), the kernel runs
+    per-shard via ``shard_map`` with the env batch split on the leading
+    axis; without an ambient mesh, multi-device falls back to the XLA
+    pipeline (GSPMD partitions it)."""
     from jax import custom_batching
+    from .parallel import mesh as pmesh
     from .physics import pallas_world, world as pworld
 
     n = num_agents
@@ -188,23 +191,32 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
                 (cars, lagged_on_road, contact_state), in_batched
             )
         )
+        am = pmesh.ambient_mesh()
         mode = solver
         if mode == "auto":
+            on_tpu = jax.default_backend() == "tpu"
             mode = (
                 "pallas"
-                if jax.default_backend() == "tpu" and jax.device_count() == 1
+                if on_tpu and (jax.device_count() == 1 or am is not None)
                 else "xla"
             )
         if mode == "pallas":
             interpret = jax.default_backend() != "tpu"
-            new_cars, skid, new_cs = pallas_world.step_physics_batched(
-                cars, lagged_on_road, contact_state, n,
-                velocity_iters=velocity_iters, position_iters=position_iters,
-                interpret=interpret,
-            )
-            if n == 1:
-                new_cs = contact_state
-            out = (new_cars, skid, new_cs)
+
+            def kernel_call(cars, lagged_on_road, contact_state):
+                new_cars, skid, new_cs = pallas_world.step_physics_batched(
+                    cars, lagged_on_road, contact_state, n,
+                    velocity_iters=velocity_iters,
+                    position_iters=position_iters,
+                    interpret=interpret,
+                )
+                if n == 1:
+                    new_cs = contact_state
+                return new_cars, skid, new_cs
+
+            if am is not None:
+                kernel_call = pmesh.shard_leading(kernel_call, am)
+            out = kernel_call(cars, lagged_on_road, contact_state)
         else:
             out = jax.vmap(_single)(cars, lagged_on_road, contact_state)
         return out, jax.tree_util.tree_map(lambda _: True, out)

@@ -84,16 +84,22 @@ def state_observation(state: EnvState) -> jnp.ndarray:
 def pixel_observation_batched(cfg, state) -> jnp.ndarray:
     """Batched pixel observations (E, N, 96, 96, 3) uint8.
 
-    Dispatches to the Pallas rasterization kernel on a single TPU chip
-    (render/pallas_raster.py — measured 22x the XLA painter at 2048 views)
-    and to the windowed XLA painter elsewhere (CPU tests, multi-device
-    meshes where a Pallas call would need shard_map)."""
+    Dispatches to the Pallas rasterization kernel on TPU
+    (render/pallas_raster.py — measured 22x the XLA painter at 2048 views):
+    directly on a single chip, per-shard via ``shard_map`` under a
+    multi-device mesh (``jax.set_mesh``). Falls back to the windowed XLA
+    painter elsewhere (CPU tests; multi-device without an ambient mesh)."""
     import jax
     from functools import partial
+    from .parallel import mesh as pmesh
     from .render import raster
 
-    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+    am = pmesh.ambient_mesh()
+    if jax.default_backend() == "tpu" and (jax.device_count() == 1 or am is not None):
         from .render import pallas_raster
 
-        return pallas_raster.render_pixels(cfg, state)
+        fn = partial(pallas_raster.render_pixels, cfg)
+        if am is not None:
+            fn = pmesh.shard_leading(fn, am)
+        return fn(state)
     return jax.vmap(partial(raster.render_observation, cfg))(state)

@@ -16,6 +16,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def ambient_mesh():
+    """The ambient (abstract) mesh if tracing under ``jax.set_mesh`` with a
+    real multi-device mesh, else None.
+
+    Pallas calls are single-device programs; under a multi-device mesh they
+    must be wrapped in ``shard_map`` so each device runs the kernel on its
+    local shard. Reading the ambient mesh at trace time lets the env/obs
+    dispatch do that automatically (see env._make_solver,
+    obs.pixel_observation_batched)."""
+    am = jax.sharding.get_abstract_mesh()
+    if not am.axis_names or am.size <= 1:
+        return None
+    return am
+
+
+def shard_leading(fn, am):
+    """shard_map ``fn`` with every arg/output sharded on its leading axis
+    over ALL mesh axes (the env-batch layout). check_vma=False because
+    pallas_call out_shapes carry no varying-mesh-axes info."""
+    spec = P(am.axis_names)
+    return jax.shard_map(fn, mesh=am, in_specs=spec, out_specs=spec, check_vma=False)
+
+
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:

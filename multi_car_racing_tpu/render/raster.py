@@ -14,11 +14,15 @@ the two TPU walls measured on the naive forms:
    the Pallas kernel (pallas_raster.py) keeps the plane in VMEM and is the
    production path on TPU.
 
-Track tiles are windowed per view (two windows cover crossing sections,
-merged ascending = creation/paint order). Known warmup approximation: during
-the first-second zoom-out only windowed tiles near the car are painted; far
-track segments are missing from those frames (near track, grass, cars, HUD
-exact). A Pallas kernel with per-tile culling is the roadmap fix.
+Track tiles are windowed per view in the steady state (two windows cover
+crossing sections, merged ascending = creation/paint order). During the
+first-second zoom-out (mcr:540) the windows would miss far track segments,
+so a ``lax.cond`` switches to an exact FULL-track pass: chunked
+priority-max painting in world space, where key = (creation-order priority
+<< 5) | palette reproduces painter's overdraw without sequential writes.
+Unbatched callers (the gym facade) pay the full pass only on real warmup
+frames; under vmap both branches run (fallback path only — the Pallas
+kernel is the production TPU rasterizer).
 """
 
 from __future__ import annotations
@@ -93,6 +97,56 @@ def _window_indices(track, centers, w1: int, w2: int):
     i1 = jnp.mod(s1[:, None] + jnp.arange(w1, dtype=jnp.int32)[None], n)
     i2 = jnp.mod(s2[:, None] + jnp.arange(w2, dtype=jnp.int32)[None], n)
     return jnp.sort(jnp.concatenate([i1, i2], axis=1), axis=1)
+
+
+def _paint_track_world(track, tile_pal, curb_pal, gx, gy, idx, chunk: int = 32):
+    """Exact full-track painting in world coordinates via priority-max.
+
+    Sequential painter order (tile i, then curb i, ascending i — mcr:309-334)
+    is reproduced by encoding key = (order << 5) | palette per covering quad
+    and taking the pixel-wise max: the last-painted quad has the highest
+    order, and palettes (< 32) never disturb the order comparison. Chunked
+    fori_loop keeps the graph small and intermediates (N, chunk, P) bounded.
+    """
+    mt = track.max_tiles
+    n_chunks = -(-mt // chunk)
+    i32 = jnp.int32
+
+    def cov_world(quad):
+        # quad (T, 4, 2) world verts -> (N, T, P) bool coverage.
+        pos = neg = None
+        for v in range(4):
+            ax = quad[None, :, v, 0, None]
+            ay = quad[None, :, v, 1, None]
+            bx = quad[None, :, (v + 1) % 4, 0, None]
+            by = quad[None, :, (v + 1) % 4, 1, None]
+            cr = (bx - ax) * (gy[:, None, :] - ay) - (by - ay) * (gx[:, None, :] - ax)
+            p, q = cr >= 0, cr <= 0
+            pos = p if pos is None else pos & p
+            neg = q if neg is None else neg & q
+        return pos | neg
+
+    def body(c, best):
+        # Modular indexing: a final partial chunk re-reads leading tiles with
+        # their ORIGINAL ids, so duplicate keys are identical and max-idempotent.
+        ids = jnp.mod(c * chunk + jnp.arange(chunk, dtype=i32), mt)
+
+        def sl(x):
+            return jnp.take(x, ids, axis=0)
+
+        tid = ids[None, :, None]
+        keyt = jnp.where(
+            cov_world(sl(track.quad)) & sl(track.valid)[None, :, None],
+            ((2 * tid + 1) << 5) | sl(tile_pal)[None, :, None], 0,
+        )
+        keyc = jnp.where(
+            cov_world(sl(track.curb_quad)) & sl(track.has_curb)[None, :, None],
+            ((2 * tid + 2) << 5) | sl(curb_pal)[None, :, None], 0,
+        )
+        return jnp.maximum(best, jnp.maximum(keyt.max(1), keyc.max(1)))
+
+    best = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros_like(idx))
+    return jnp.where(best > 0, jnp.bitwise_and(best, 31), idx)
 
 
 def render_observation(cfg, state, vp_w: int = C.STATE_W, vp_h: int = C.STATE_H,
@@ -178,11 +232,21 @@ def render_observation(cfg, state, vp_w: int = C.STATE_W, vp_h: int = C.STATE_H,
             neg = q if neg is None else neg & q
         return pos | neg
 
-    for slot in range(WS):
-        cov_t = quad_cov(tqw[:, slot]) & tv[:, slot:slot + 1]
-        cov_c = quad_cov(cqw[:, slot]) & cv[:, slot:slot + 1]
-        idx = jnp.where(cov_t, tp[:, slot:slot + 1], idx)
-        idx = jnp.where(cov_c, cp[:, slot:slot + 1], idx)
+    def paint_windowed(idx):
+        for slot in range(WS):
+            cov_t = quad_cov(tqw[:, slot]) & tv[:, slot:slot + 1]
+            cov_c = quad_cov(cqw[:, slot]) & cv[:, slot:slot + 1]
+            idx = jnp.where(cov_t, tp[:, slot:slot + 1], idx)
+            idx = jnp.where(cov_c, cp[:, slot:slot + 1], idx)
+        return idx
+
+    def paint_full(idx):
+        return _paint_track_world(track, tile_pal, curb_pal, gx, gy, idx)
+
+    # First-second zoom-out (mcr:540): the camera sees far past the windows —
+    # switch to the exact full-track pass for those frames.
+    warm = zoom < 0.999 * C.ZOOM * C.SCALE
+    idx = jax.lax.cond(warm, paint_full, paint_windowed, idx)
 
     # ---- skid trails (under the cars, like the reference's draw order).
     if draw_particles:

@@ -162,3 +162,17 @@ def test_pallas_kernel_matches_oracle_postwarmup(driven_state):
     oracle = np.asarray(jax.jit(partial(xla_raster.render_observation, cfg))(state))
     prod = np.asarray(pallas_raster.render_pixels(cfg, st, interpret=True))[0]
     np.testing.assert_array_equal(prod, oracle)
+
+
+def test_xla_painter_warmup_far_track_exact():
+    """The XLA painter's warmup branch (full-track priority-max pass) must
+    equal the oracle exactly — the windowed approximation is gone."""
+    cfg = C.EnvConfig(num_agents=2)
+    state, _ = tenv.host_reset(cfg, seed=11, global_stream=seeding.GlobalStream(5))
+    step = jax.jit(partial(tenv.step, cfg))
+    for _ in range(10):
+        state, _, _ = step(state, jnp.zeros((2, 3)))
+    assert float(state.t) < 1.0, "not a warmup frame"
+    oracle = np.asarray(jax.jit(partial(xla_raster.render_observation, cfg))(state))
+    prod = np.asarray(jax.jit(partial(raster.render_observation, cfg))(state))
+    np.testing.assert_array_equal(prod, oracle)
