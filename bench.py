@@ -7,8 +7,10 @@ throughput divided by that.
 
 Run on the ambient JAX platform (TPU under axon; CPU if forced). Physics-only
 stepping (obs_type='none'): identical work to the reference's no-render row.
-Set MCR_BENCH_PIXELS=1 to include the 96x96x3 observation rasterizer once the
-pixel path lands.
+Set MCR_BENCH_PIXELS=1 to also rasterize the (E, N, 96, 96, 3) observation
+every step (the Pallas kernel); the reference baseline for that mode is its
+state_pixels render path (well under the no-render 544 steps/s, so
+vs_baseline stays conservatively against 544).
 """
 
 from __future__ import annotations
@@ -69,13 +71,21 @@ def main():
     # ONE dispatch. With the fused Pallas physics kernel (physics/
     # pallas_world.py) this is the fastest stepping mode; a donated
     # step-per-dispatch loop pays ~2.5 ms/step of dispatch overhead on top.
+    pixels = bool(int(os.environ.get("MCR_BENCH_PIXELS", "0")))
+    if pixels:
+        from multi_car_racing_tpu import obs as tobs
+
     @jax.jit
     def rollout(state):
         def body(carry, t):
             state = carry
             a = actions[t % 8]
             state, r, d = step(state, a)
-            return state, r.mean()
+            out = r.mean()
+            if pixels:
+                img = tobs.pixel_observation_batched(cfg, state)
+                out = out + img.astype(jnp.uint32).sum().astype(out.dtype) * 1e-30
+            return state, out
 
         state, rews = jax.lax.scan(body, state, jnp.arange(T))
         return state, rews
@@ -93,10 +103,13 @@ def main():
 
     steps_per_sec = E * T / elapsed
     baseline = 544.0  # reference, 2 agents, no render (BASELINE.md)
+    metric = "env_steps_per_sec_per_chip_4096x2agents"
+    if pixels:
+        metric += "_pixels"
     print(
         json.dumps(
             {
-                "metric": "env_steps_per_sec_per_chip_4096x2agents",
+                "metric": metric,
                 "value": round(steps_per_sec, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(steps_per_sec / baseline, 2),

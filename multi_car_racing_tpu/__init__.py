@@ -23,7 +23,10 @@ Batched functional core (thousands of envs under jit/vmap):
 
 from . import config
 from .config import EnvConfig
-from .gym_api import MultiCarRacing, TimeLimit, make
+from .gym_api import MultiCarRacing, TimeLimit, VectorMultiCarRacing, make
 
 __version__ = "0.1.0"
-__all__ = ["config", "EnvConfig", "MultiCarRacing", "TimeLimit", "make"]
+__all__ = [
+    "config", "EnvConfig", "MultiCarRacing", "TimeLimit",
+    "VectorMultiCarRacing", "make",
+]

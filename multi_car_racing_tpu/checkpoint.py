@@ -5,6 +5,13 @@ mid-episode state).
 Every piece of runtime state here is a pytree (EnvState, learner TrainState),
 so checkpointing is orbax on the whole tree: save mid-episode env batches,
 learner params/optimizer state, and RNG keys, and resume bit-exactly.
+
+Multi-process (multi-host) runs: arrays sharded over a global mesh are not
+host-addressable, so ``save`` all-gathers the global values and writes from
+process 0 only (with a barrier so no worker races ahead and dies mid-write);
+``restore`` rebuilds host-local arrays on every process — re-sharding onto
+the global mesh is the caller's job (parallel.mesh.shard_train_state), and
+``jax.device_put`` scatters each process's addressable shards.
 """
 
 from __future__ import annotations
@@ -13,6 +20,7 @@ import os
 from typing import Any
 
 import jax
+import numpy as np
 
 
 def _checkpointer():
@@ -21,21 +29,69 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+def _to_host(tree: Any) -> Any:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(tree, tiled=True)
+    return jax.device_get(tree)
+
+
+def _slots(path: str):
+    return path + ".slot0", path + ".slot1", path + ".latest"
+
+
 def save(path: str, tree: Any) -> None:
-    """Save any pytree (EnvState, TrainState, ...) to ``path``."""
+    """Save any pytree (EnvState, TrainState, ...) under ``path``.
+
+    Crash-safe two-slot scheme: alternating slot directories plus an
+    atomically-replaced pointer file. A crash (SIGKILL, host failure) during
+    a save can only corrupt the slot being written — the pointer still names
+    the previous complete checkpoint, so recovery never finds an empty or
+    half-written state (exercised by tests/test_fault_injection.py and
+    tests/test_multiprocess.py)."""
     path = os.path.abspath(path)
-    _checkpointer().save(path, jax.device_get(tree), force=True)
+    host_tree = _to_host(tree)
+    s0, s1, ptr = _slots(path)
+    # Every process must make the same calls in the same order: orbax runs
+    # its own cross-process barriers inside save(), so it is called by ALL
+    # processes (the slot choice is consistent — the pointer only moves
+    # behind the barrier below). Only the pointer replace is process-0.
+    cur = None
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            cur = f.read().strip()
+    nxt = s1 if cur == s0 else s0
+    _checkpointer().save(nxt, host_tree, force=True)
+    if jax.process_index() == 0:
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(nxt)
+        os.replace(tmp, ptr)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mcr_checkpoint_save")
 
 
 def restore(path: str, template: Any) -> Any:
     """Restore a pytree saved with :func:`save`.
 
     ``template`` supplies structure/dtypes (e.g. a freshly-initialized
-    TrainState); arrays are restored onto the default device — re-shard with
-    parallel.mesh helpers afterwards for multi-chip runs.
+    TrainState) and may hold non-addressable global arrays — only shapes and
+    dtypes are read from it. Arrays are restored host-local; re-shard with
+    parallel.mesh helpers afterwards for multi-chip / multi-process runs.
     """
     path = os.path.abspath(path)
-    restored = _checkpointer().restore(path, item=jax.device_get(template))
+    ptr = _slots(path)[2]
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            path = f.read().strip()
+    item = jax.tree_util.tree_map(
+        lambda t: np.zeros(t.shape, t.dtype) if hasattr(t, "dtype") else t,
+        template,
+    )
+    restored = _checkpointer().restore(path, item=item)
     return jax.tree_util.tree_map(lambda t, r: jax.numpy.asarray(r, t.dtype)
                                   if hasattr(t, "dtype") else r,
                                   template, restored)

@@ -204,6 +204,122 @@ class TimeLimit:
         return obs, r, done, info
 
 
+class VectorMultiCarRacing:
+    """Batched numpy facade: E lockstep envs on device (new capability — the
+    reference is strictly single-env; this is the throughput entry point the
+    functional core exists for).
+
+    - ``reset()`` -> obs; ``step(actions (E, N, 3))`` -> (obs, rewards
+      (E, N), dones (E,), info). Done/time-limited envs auto-reset at the
+      START of the next step (the returned obs/reward of a finishing step
+      are the terminal ones), drawing fresh tracks from an on-device pool.
+    - Tracks and episode params come from the on-device threefry generator
+      (statistically equivalent to the reference's MT19937 streams; use the
+      single-env ``MultiCarRacing`` facade for bit-parity work).
+    - obs="pixels" renders (E, N, 96, 96, 3) uint8 via the Pallas kernel on
+      TPU; obs="state" returns the compact (E, N, 20) feature vector
+      (obs.state_observation); obs="none" returns None (physics only).
+    """
+
+    metadata = metadata
+
+    def __init__(
+        self,
+        num_envs: int,
+        num_agents: int = 2,
+        obs: str = "pixels",
+        seed: int = 0,
+        pool_size: int = 32,
+        max_episode_steps: int = C.MAX_EPISODE_STEPS,
+        **env_kwargs,
+    ):
+        assert obs in ("pixels", "state", "none"), obs
+        self.num_envs = num_envs
+        self.num_agents = num_agents
+        self.obs_type = obs
+        self.cfg = C.EnvConfig(
+            num_agents=num_agents, max_episode_steps=max_episode_steps,
+            **env_kwargs,
+        )
+        self._key = jax.random.PRNGKey(seed)
+        self._pool = None
+        self._state = None
+        self._pool_size = pool_size
+
+        n, E = num_agents, num_envs
+        self.action_space = Box(
+            np.tile([-1.0, 0.0, 0.0], (E, n, 1)),
+            np.tile([1.0, 1.0, 1.0], (E, n, 1)), (E, n, 3), np.float32,
+        )
+        if obs == "pixels":
+            self.observation_space = Box(
+                0, 255, (E, n, C.STATE_H, C.STATE_W, 3), np.uint8
+            )
+        elif obs == "state":
+            from . import obs as tobs
+
+            self.observation_space = Box(
+                -np.inf, np.inf, (E, n, tobs.STATE_OBS_DIM), np.float32
+            )
+        else:
+            self.observation_space = None
+
+        cfg = self.cfg
+
+        def _obs(state):
+            if obs == "pixels":
+                from . import obs as tobs
+
+                return tobs.pixel_observation_batched(cfg, state)
+            if obs == "state":
+                from . import obs as tobs
+
+                return jax.vmap(tobs.state_observation)(state)
+            return None
+
+        def _tick(state, actions, key):
+            state = tenv.reset_done_envs(cfg, state, self._pool, key)
+            state, r, d = jax.vmap(partial(tenv.step, cfg))(state, actions)
+            return state, _obs(state), r, d | (state.steps >= max_episode_steps)
+
+        self._tick = jax.jit(_tick, donate_argnums=0)
+        self._obs_fn = jax.jit(_obs)
+        self._reset_fn = jax.jit(jax.vmap(partial(tenv.device_reset, cfg)))
+
+    def _split(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def reset(self):
+        cfg = self.cfg
+        if self._pool is None:
+            self._pool, _ = tenv.make_track_pool(cfg, self._split(), self._pool_size)
+        keys = jax.random.split(self._split(), self.num_envs)
+        self._state = self._reset_fn(keys)
+        out = self._obs_fn(self._state)
+        return None if out is None else np.asarray(out)
+
+    def step(self, actions):
+        if self._state is None:
+            raise RuntimeError("call reset() first")
+        actions = jnp.asarray(
+            np.reshape(np.asarray(actions, np.float32),
+                       (self.num_envs, self.num_agents, -1))
+        )
+        self._state, obs, r, d = self._tick(self._state, actions, self._split())
+        return (
+            None if obs is None else np.asarray(obs),
+            np.asarray(r), np.asarray(d), {},
+        )
+
+    @property
+    def state(self):
+        return self._state
+
+    def close(self):
+        self._state = None
+
+
 REGISTRY = {
     "MultiCarRacing-v0": dict(
         max_episode_steps=C.MAX_EPISODE_STEPS, reward_threshold=C.REWARD_THRESHOLD

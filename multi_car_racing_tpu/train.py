@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize() (multi-host)")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator host:port (else auto-detect from env)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--fast-solver", action="store_true",
                     help="velocity/position iterations 30/12 instead of 180/60")
     args = ap.parse_args()
@@ -40,7 +44,14 @@ def main():
     import jax
 
     if args.distributed:
-        jax.distributed.initialize()
+        if args.coordinator is not None:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()
 
     from . import checkpoint, config as C, metrics
     from .learner import ppo

@@ -80,3 +80,42 @@ def test_tui_frame_and_keymap():
     a = tui.actions_from_keys(held, 2, now)
     assert a[0, 1] == 1.0 and a[0, 0] == 0.0
     assert a[1, 0] == -1.0 and a[1, 2] == np.float32(0.8)
+
+
+def test_vector_env_facade():
+    """VectorMultiCarRacing: batched numpy API with autoreset."""
+    import numpy as np
+    from multi_car_racing_tpu import gym_api as mcr
+
+    E, N = 4, 2
+    venv = mcr.VectorMultiCarRacing(
+        E, num_agents=N, obs="state", seed=3, pool_size=2,
+        max_episode_steps=12, velocity_iters=8, position_iters=3,
+    )
+    obs = venv.reset()
+    assert obs.shape == (E, N, 20)
+    a = np.tile([0.0, 0.7, 0.0], (E, N, 1))
+    steps_before = np.asarray(venv.state.steps)
+    for t in range(14):
+        obs, r, d, _ = venv.step(a)
+        assert obs.shape == (E, N, 20) and r.shape == (E, N) and d.shape == (E,)
+    # time limit is 12: every env must have been autoreset at least once,
+    # so step counters are all < 14.
+    assert (np.asarray(venv.state.steps) < 14).all()
+    assert (np.asarray(venv.state.steps) > 0).all()
+    venv.close()
+
+
+def test_vector_env_pixels_shape():
+    import numpy as np
+    from multi_car_racing_tpu import gym_api as mcr
+
+    venv = mcr.VectorMultiCarRacing(
+        2, num_agents=2, obs="pixels", seed=0, pool_size=2,
+        velocity_iters=8, position_iters=3,
+    )
+    obs = venv.reset()
+    assert obs.shape == (2, 2, 96, 96, 3) and obs.dtype == np.uint8
+    obs, r, d, _ = venv.step(np.zeros((2, 2, 3)))
+    assert obs.shape == (2, 2, 96, 96, 3)
+    venv.close()

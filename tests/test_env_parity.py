@@ -140,3 +140,22 @@ def test_vmap_matches_single_env():
             np.testing.assert_array_equal(np.asarray(batched_r[i]), np.asarray(r))
         states = [s for s, _, _ in states]
         batched = batched_state
+
+
+def test_four_agent_parity_modulo_spawn_tiebreak():
+    """BASELINE.json config 3: num_agents=4. Same contract as the 2-agent
+    test — per-step rewards match after t=0; spawn-bonus multiset and totals
+    match at t=0 (car-id tie-break vs Box2D contact order, SURVEY.md §7.5)."""
+    actions = _action_schedule(120, 4)
+    _, ref_rews, ref_done, _ = _run_reference(4, 11, 5, actions)
+    _, our_rews, our_done, _ = _run_ours(4, 11, 5, actions)
+
+    L = min(len(ref_rews), len(our_rews))
+    np.testing.assert_allclose(our_rews[1:L], ref_rews[1:L], atol=1e-4)
+    np.testing.assert_allclose(
+        np.sort(our_rews[0]), np.sort(ref_rews[0]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        our_rews[:L].sum(axis=0).sum(), ref_rews[:L].sum(axis=0).sum(), atol=1e-3
+    )
+    assert ref_done == our_done

@@ -80,7 +80,9 @@ def test_sigkill_mid_training_then_resume(tmp_path):
         p.kill()
         p.wait()
 
-    assert os.path.exists(ckpt), "checkpoint directory missing after kill"
+    # Two-slot scheme (checkpoint.py): the pointer file names the last
+    # COMPLETE slot, surviving kills mid-save.
+    assert os.path.exists(ckpt + ".latest"), "checkpoint pointer missing after kill"
 
     # --- restart from the checkpoint; must resume at update >= 1 and finish.
     p2 = _launch(ckpt, ["--resume", ckpt])

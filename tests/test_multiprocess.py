@@ -1,0 +1,137 @@
+"""Multi-process (multi-host) drills on CPU: 2 JAX processes, gloo
+collectives, one device each — the same jax.distributed + GSPMD path a pod
+slice uses, minus the ICI (SURVEY.md §2.15 / §5).
+
+- smoke: 2-process distributed PPO training; both workers must see the SAME
+  replicated losses (the gradient all-reduce really ran).
+- fault injection: SIGKILL one worker mid-run after a checkpoint exists (a
+  host failure); the survivor cannot proceed (collectives block) and is torn
+  down — the coordinator-restart story. Relaunch both workers with --resume
+  and assert training continues from the saved update counter.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import signal
+import socket
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WRAPPER = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_compilation_cache_dir", {cache!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.argv = ["train"] + sys.argv[1:]
+from multi_car_racing_tpu.train import main
+main()
+"""
+
+BASE_ARGS = [
+    "--updates", "2", "--num-envs", "4", "--rollout", "4", "--pool-size", "2",
+    "--num-agents", "2", "--obs", "state", "--fast-solver",
+]
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _launch_worker(port, pid, extra):
+    cache = os.path.join(REPO, ".jax_cache")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    # One device per process: drop the 8-virtual-device flag pytest's
+    # conftest exports, or the pair would form a 16-device mesh.
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags.split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    args = BASE_ARGS + [
+        "--distributed", "--coordinator", f"localhost:{port}",
+        "--num-processes", "2", "--process-id", str(pid),
+    ] + extra
+    return subprocess.Popen(
+        [sys.executable, "-c", WRAPPER.format(cache=cache)] + args,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        cwd=REPO,
+    )
+
+
+def _run_pair(extra, timeout=1200):
+    port = _free_port()
+    procs = [_launch_worker(port, i, extra) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+    return procs, outs
+
+
+def _losses(out):
+    return re.findall(r"update\s+\d+ loss ([+-][\d.]+)", out)
+
+
+def test_two_process_training_losses_match():
+    procs, outs = _run_pair([])
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    l0, l1 = _losses(outs[0]), _losses(outs[1])
+    assert len(l0) == 2 and l0 == l1, (l0, l1)
+
+
+def test_multihost_fault_injection_and_resume(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    port = _free_port()
+    extra = ["--checkpoint", ckpt, "--ckpt-every", "1", "--updates", "50"]
+    # 50 updates: the run is MEANT to be interrupted long before finishing.
+    procs = [_launch_worker(port, i, extra) for i in range(2)]
+
+    # Wait for the first checkpoint, then kill worker 1 (host failure).
+    deadline = time.time() + 1200
+    victim, survivor = procs[1], procs[0]
+    seen = []
+    for line in victim.stdout:
+        seen.append(line)
+        if "checkpointed" in line:
+            break
+        assert time.time() < deadline, "no checkpoint before deadline:\n" + "".join(seen)
+    os.kill(victim.pid, signal.SIGKILL)
+    victim.wait(timeout=60)
+
+    # The survivor is now stuck in (or will fail at) a cross-process
+    # collective — in production the coordinator declares the job dead and
+    # restarts every worker. Tear it down.
+    try:
+        survivor.wait(timeout=15)      # may die on its own (gloo error)
+    except subprocess.TimeoutExpired:
+        os.kill(survivor.pid, signal.SIGKILL)
+        survivor.wait(timeout=60)
+
+    # Coordinator restart: fresh pair resumes from the shared checkpoint.
+    procs2, outs = _run_pair(
+        ["--checkpoint", ckpt, "--ckpt-every", "1", "--updates", "2",
+         "--resume", ckpt]
+    )
+    for p, out in zip(procs2, outs):
+        assert p.returncode == 0, out
+        m = re.search(r"resumed from .* at update (\d+)", out)
+        assert m and int(m.group(1)) >= 1, out
+        # training continued past the restored counter
+        upds = [int(u) for u in re.findall(r"update\s+(\d+) loss", out)]
+        assert upds and upds[0] == int(m.group(1)) + 1, out

@@ -176,3 +176,31 @@ def test_xla_painter_warmup_far_track_exact():
     oracle = np.asarray(jax.jit(partial(xla_raster.render_observation, cfg))(state))
     prod = np.asarray(jax.jit(partial(raster.render_observation, cfg))(state))
     np.testing.assert_array_equal(prod, oracle)
+
+
+def test_four_agent_ego_color_h_ratio_variants():
+    """BASELINE.json config 3: 4 agents with use_ego_color and a non-default
+    h_ratio. All three rasterizers must agree exactly."""
+    from multi_car_racing_tpu.render import pallas_raster
+
+    cfg = C.EnvConfig(
+        num_agents=4, use_ego_color=True, h_ratio=0.5,
+        velocity_iters=20, position_iters=8,
+    )
+    state, _ = tenv.host_reset(cfg, seed=7, global_stream=seeding.GlobalStream(3))
+    step = jax.jit(partial(tenv.step, cfg))
+    for _ in range(80):
+        state, _, _ = step(state, jnp.tile(jnp.asarray([0.05, 0.4, 0.0]), (4, 1)))
+
+    oracle = np.asarray(jax.jit(partial(xla_raster.render_observation, cfg))(state))
+    prod = np.asarray(jax.jit(partial(raster.render_observation, cfg))(state))
+    np.testing.assert_array_equal(prod, oracle)
+    st = jax.tree_util.tree_map(lambda x: jnp.stack([x]), state)
+    kern = np.asarray(pallas_raster.render_pixels(cfg, st, interpret=True))[0]
+    np.testing.assert_array_equal(kern, oracle)
+    assert oracle.shape == (4, 96, 96, 3)
+    # each agent's own view shows the ego car red near its anchor (h_ratio
+    # 0.5 -> vertical center)
+    for v in range(4):
+        patch = oracle[v, 36:60, 32:64].reshape(-1, 3).astype(int)
+        assert (np.abs(patch - [204, 0, 0]).sum(-1) < 40).any()
