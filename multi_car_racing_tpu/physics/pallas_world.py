@@ -220,11 +220,12 @@ def _collide_core(N, tb, hcx, hcy, ha, wcx, wcy, wa_,
     ox = cxf - (cb * tb["lcx"] - sb * tb["lcy"])
     oy = cyf - (sb * tb["lcx"] + cb * tb["lcy"])
 
-    # --- world fixture geometry, (NF, E) per vertex index.
-    fo_x = _dot(tb["f2b"], ox)
-    fo_y = _dot(tb["f2b"], oy)
-    fc = _dot(tb["f2b"], cb)
-    fs = _dot(tb["f2b"], sb)
+    # --- world fixture geometry, (NF, E) per vertex index. Dots stacked
+    # along lanes: one MXU call fetches all four per-fixture quantities.
+    E1 = hcx.shape[-1]
+    g4 = _dot(tb["f2b"], jnp.concatenate([ox, oy, cb, sb], axis=1))
+    fo_x, fo_y = g4[:, 0:E1], g4[:, E1:2 * E1]
+    fc, fs = g4[:, 2 * E1:3 * E1], g4[:, 3 * E1:]
     FIXS = jnp.concatenate([tb["fixa"], tb["fixb"]], axis=0)   # (2MM, NF)
     MM = tb["fixa"].shape[0]
     vax, vay, nax, nay = [], [], [], []
@@ -238,10 +239,9 @@ def _collide_core(N, tb, hcx, hcy, ha, wcx, wcy, wa_,
         wvy_ = fs * lvx + fc * lvy + fo_y
         wnx_ = fc * lnx - fs * lny
         wny_ = fs * lnx + fc * lny
-        gx = _dot(FIXS, wvx_)
-        gy = _dot(FIXS, wvy_)
-        hx = _dot(FIXS, wnx_)
-        hy = _dot(FIXS, wny_)
+        g = _dot(FIXS, jnp.concatenate([wvx_, wvy_, wnx_, wny_], axis=1))
+        gx, gy = g[:, 0:E1], g[:, E1:2 * E1]
+        hx, hy = g[:, 2 * E1:3 * E1], g[:, 3 * E1:]
         vax.append(gx[:MM]); vbx.append(gx[MM:])
         vay.append(gy[:MM]); vby.append(gy[MM:])
         nax.append(hx[:MM]); nbx.append(hx[MM:])
@@ -360,7 +360,7 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
     jnt: (jix[4], jiy[4], jiz[4], mimp[4], mspeed[4]) — jiz already
          limit-state-masked, ls the NEW limit states.
     man: None or (nx, ny, pkx[2], pky[2], sep[2], ok[2], ni[2], ti[2]).
-    tbl: None or (WA, WB, WDT, WAT, WBT, INVM, INVI) value arrays.
+    tbl: None or (WS, WDT, WBA, INVM, INVI) value arrays (_contact_tbls).
     Returns updated (body, jix, jiy, jiz, mimp, ni, ti)."""
     (hvx, hvy, hw, hcx, hcy, ha, wvx, wvy, ww, wcx, wcy, wa_) = body
     jix, jiy, jiz, mimp, mspeed = jnt
@@ -373,23 +373,21 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
 
     if has_contacts:
         (nx, ny, pkx, pky, sep, ok, ni, ti) = man
-        WA, WB, WDT, WAT, WBT, INVM, INVI = tbl
-        WS = jnp.concatenate([WA, WB], axis=0)
-        MM = WA.shape[0]
+        WS, WDT, WBA, INVM, INVI = tbl
+        MM = WS.shape[0] // 2
+        E1 = hvx.shape[-1]
         tx = ny
         ty = -nx
-        ma = _dot(WA, INVM)
-        mb = _dot(WB, INVM)
-        ia = _dot(WA, INVI)
-        ib = _dot(WB, INVI)
+        gmi = _dot(WS, jnp.concatenate([INVM, INVI], axis=1))   # (2MM, 2)
+        ma, mb = gmi[0:MM, 0:1], gmi[MM:, 0:1]
+        ia, ib = gmi[0:MM, 1:2], gmi[MM:, 1:2]
 
         def flat(h, w4):
             return jnp.concatenate([h] + list(w4), axis=0)
 
-        cxf = flat(hcx, wcx)
-        cyf = flat(hcy, wcy)
-        com_a0x, com_b0x = jnp.split(_dot(WS, cxf), 2, axis=0)
-        com_a0y, com_b0y = jnp.split(_dot(WS, cyf), 2, axis=0)
+        gc = _dot(WS, jnp.concatenate([flat(hcx, wcx), flat(hcy, wcy)], axis=1))
+        com_a0x, com_b0x = gc[0:MM, 0:E1], gc[MM:, 0:E1]
+        com_a0y, com_b0y = gc[0:MM, E1:], gc[MM:, E1:]
         r_akx = [pkx[k] - com_a0x for k in range(2)]
         r_aky = [pky[k] - com_a0y for k in range(2)]
         r_bkx = [pkx[k] - com_b0x for k in range(2)]
@@ -409,9 +407,10 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
             py = lam * ay_
             la = r_akx[k] * py - r_aky[k] * px
             lb = r_bkx[k] * py - r_bky[k] * px
-            vxf = vxf + _dot(WDT, px) * INVM
-            vyf = vyf + _dot(WDT, py) * INVM
-            wf = wf + (_dot(WBT, lb) - _dot(WAT, la)) * INVI
+            dlin = _dot(WDT, jnp.concatenate([px, py], axis=1)) * INVM
+            vxf = vxf + dlin[:, 0:E1]
+            vyf = vyf + dlin[:, E1:]
+            wf = wf + _dot(WBA, jnp.concatenate([lb, la], axis=0)) * INVI
             return vxf, vyf, wf
 
         # ---- contact warm start (before joints: b2Island order).
@@ -527,12 +526,10 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
         wf = jnp.concatenate([hw] + list(ww), axis=0)
 
         def rel_vel(k):
-            gx = _dot(WS, vxf)
-            gy = _dot(WS, vyf)
-            gw = _dot(WS, wf)
-            va_x, vb_x = gx[0:MM], gx[MM:]
-            va_y, vb_y = gy[0:MM], gy[MM:]
-            wa_g, wb_g = gw[0:MM], gw[MM:]
+            g = _dot(WS, jnp.concatenate([vxf, vyf, wf], axis=1))
+            va_x, vb_x = g[0:MM, 0:E1], g[MM:, 0:E1]
+            va_y, vb_y = g[0:MM, E1:2 * E1], g[MM:, E1:2 * E1]
+            wa_g, wb_g = g[0:MM, 2 * E1:], g[MM:, 2 * E1:]
             dvx = vb_x - wb_g * r_bky[k] - va_x + wa_g * r_aky[k]
             dvy = vb_y + wb_g * r_bkx[k] - va_y - wa_g * r_akx[k]
             return dvx, dvy
@@ -650,10 +647,9 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
         cyf = jnp.concatenate([hcy] + list(wcy), axis=0)
         af = jnp.zeros_like(cxf)   # angle deltas only (rigid-shift manifold)
         for k in range(2):
-            gx = _dot(WS, cxf)
-            gy = _dot(WS, cyf)
-            com_ax, com_bx = gx[0:MM], gx[MM:]
-            com_ay, com_by = gy[0:MM], gy[MM:]
+            g = _dot(WS, jnp.concatenate([cxf, cyf], axis=1))
+            com_ax, com_bx = g[0:MM, 0:E1], g[MM:, 0:E1]
+            com_ay, com_by = g[0:MM, E1:], g[MM:, E1:]
             shift = ((com_bx - com_b0x) - (com_ax - com_a0x)) * nx + (
                 (com_by - com_b0y) - (com_ay - com_a0y)
             ) * ny
@@ -666,9 +662,10 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
             py = imp * ny
             la = r_akx[k] * py - r_aky[k] * px
             lb = r_bkx[k] * py - r_bky[k] * px
-            cxf = cxf + _dot(WDT, px) * INVM
-            cyf = cyf + _dot(WDT, py) * INVM
-            af = af + (_dot(WBT, lb) - _dot(WAT, la)) * INVI
+            dlin = _dot(WDT, jnp.concatenate([px, py], axis=1)) * INVM
+            cxf = cxf + dlin[:, 0:E1]
+            cyf = cyf + dlin[:, E1:]
+            af = af + _dot(WBA, jnp.concatenate([lb, la], axis=0)) * INVI
         hcx, hcy = cxf[0:N], cyf[0:N]
         ha = ha + af[0:N]
         wcx = [cxf[N + k * N:N + (k + 1) * N] for k in range(4)]
@@ -762,7 +759,7 @@ def _make_solve_kernel(num_cars, velocity_iters, position_iters,
     k_pos_c = min(contact_position_iters, position_iters) if has_contacts else 0
 
     def kernel(hull_ref, wheel_ref, force_ref, jnt_ref, ls_ref, man_ref,
-               wa_ref, wb_ref, wdt_ref, wat_ref, wbt_ref, invm_ref, invi_ref,
+               ws_ref, wdt_ref, wba_ref, invm_ref, invi_ref,
                hull_out, wheel_out, jnt_out, ls_out, cimp_out):
         (hvx, hvy, hw, hcx, hcy, ha, wvx, wvy, ww, wcx, wcy, wa_,
          jix, jiy, jiz, mimp) = _read_common(hull_ref, wheel_ref, jnt_ref)
@@ -788,7 +785,7 @@ def _make_solve_kernel(num_cars, velocity_iters, position_iters,
                 [jnp.where(man_ref[8] > 0.0, man_ref[12], 0.0),
                  jnp.where(man_ref[9] > 0.0, man_ref[13], 0.0)],
             )
-            tbl = (wa_ref[:], wb_ref[:], wdt_ref[:], wat_ref[:], wbt_ref[:],
+            tbl = (ws_ref[:], wdt_ref[:], wba_ref[:],
                    invm_ref[:], invi_ref[:])
         else:
             man = tbl = None
@@ -817,7 +814,7 @@ def _make_mega_kernel(num_cars, velocity_iters, position_iters,
                ls_ref, pids_ref, pimp_ref,
                lvx_ref, lvy_ref, lnx_ref, lny_ref, f2b_ref, lcx_ref, lcy_ref,
                fixa_ref, fixb_ref,
-               wa_ref, wb_ref, wdt_ref, wat_ref, wbt_ref, invm_ref, invi_ref,
+               ws_ref, wdt_ref, wba_ref, invm_ref, invi_ref,
                hull_out, wheel_out, jnt_out, ls_out, tire_out, fuel_out,
                ids_out, cimp_out):
         (hvx, hvy, hw, hcx, hcy, ha, wvx, wvy, ww, wcx, wcy, wa_,
@@ -856,7 +853,7 @@ def _make_mega_kernel(num_cars, velocity_iters, position_iters,
             )
             ids_out[0] = cid
             man = (nx, ny, pkx, pky, sep, ok, ni, ti)
-            tbl = (wa_ref[:], wb_ref[:], wdt_ref[:], wat_ref[:], wbt_ref[:],
+            tbl = (ws_ref[:], wdt_ref[:], wba_ref[:],
                    invm_ref[:], invi_ref[:])
         else:
             man = tbl = None
@@ -960,14 +957,20 @@ def _unpack_state(cars, hull_o, wheel_o, jnt_o, ls_o):
 
 
 def _contact_tbls(N, f32):
+    """(WS (2MM,5N), WDT (5N,MM), WBA=[WB^T | -WA^T] (5N,2MM), INVM, INVI).
+
+    WS gathers both manifold sides in one dot; WBA applies the angular
+    impulse of both sides in one dot — half the MXU calls per solver
+    iteration vs separate WA/WB/WAT/WBT contractions."""
     if N > 1:
         wa_np, wb_np, wd_np, invm_np, invi_np = _contact_tables(N)
+        ws = np.concatenate([wa_np, wb_np], axis=0)
+        wba = np.concatenate([wb_np.T, -wa_np.T], axis=1)
         return [
-            jnp.asarray(wa_np), jnp.asarray(wb_np), jnp.asarray(wd_np.T),
-            jnp.asarray(wa_np.T), jnp.asarray(wb_np.T),
+            jnp.asarray(ws), jnp.asarray(wd_np.T), jnp.asarray(wba),
             jnp.asarray(invm_np), jnp.asarray(invi_np),
         ]
-    return [jnp.zeros((1, 1), f32)] * 7
+    return [jnp.zeros((1, 1), f32)] * 5
 
 
 _VMEM_LIMIT = 100 * 1024 * 1024
