@@ -73,13 +73,20 @@ def _launch_worker(port, pid, extra):
     )
 
 
-def _run_pair(extra, timeout=1200):
-    port = _free_port()
-    procs = [_launch_worker(port, i, extra) for i in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        outs.append(out)
+def _run_pair(extra, timeout=1200, retries=1):
+    """Launch the 2-process pair; retry once on a nonzero exit. Under the
+    parallel test suite the coordinator handshake occasionally times out
+    from CPU contention (other xdist workers compiling) — a relaunch on a
+    fresh port is the right response, not a failure."""
+    for attempt in range(retries + 1):
+        port = _free_port()
+        procs = [_launch_worker(port, i, extra) for i in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs) or attempt == retries:
+            return procs, outs
     return procs, outs
 
 
