@@ -33,7 +33,18 @@ def _to_host(tree: Any) -> Any:
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        return multihost_utils.process_allgather(tree, tiled=True)
+        # Per-leaf: only globally-sharded/replicated arrays (not fully
+        # addressable) need the collective fetch. process_allgather on a
+        # fully-addressable (host-local) leaf would CONCATENATE each
+        # process's copy along axis 0 — wrong for replicated host values.
+        # Every process sees the same tree structure, so the per-leaf
+        # branch keeps the collective order consistent.
+        def leaf(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return multihost_utils.process_allgather(x, tiled=True)
+            return jax.device_get(x)
+
+        return jax.tree_util.tree_map(leaf, tree)
     return jax.device_get(tree)
 
 
@@ -61,12 +72,14 @@ def save(path: str, tree: Any) -> None:
     if os.path.exists(ptr):
         with open(ptr) as f:
             cur = f.read().strip()
-    nxt = s1 if cur == s0 else s0
+    # The pointer stores the slot BASENAME so a checkpoint tree can be
+    # copied/moved across paths and hosts and still resolve.
+    nxt = s1 if cur == os.path.basename(s0) else s0
     _checkpointer().save(nxt, host_tree, force=True)
     if jax.process_index() == 0:
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
-            f.write(nxt)
+            f.write(os.path.basename(nxt))
         os.replace(tmp, ptr)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
@@ -86,7 +99,12 @@ def restore(path: str, template: Any) -> Any:
     ptr = _slots(path)[2]
     if os.path.exists(ptr):
         with open(ptr) as f:
-            path = f.read().strip()
+            slot = f.read().strip()
+        # Basename pointers resolve relative to the checkpoint directory;
+        # absolute ones (older saves) pass through.
+        path = slot if os.path.isabs(slot) else os.path.join(
+            os.path.dirname(path), slot
+        )
     item = jax.tree_util.tree_map(
         lambda t: np.zeros(t.shape, t.dtype) if hasattr(t, "dtype") else t,
         template,

@@ -192,6 +192,10 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
             )
         )
         am = pmesh.ambient_mesh()
+        if am is not None and axis_size % am.size != 0:
+            # shard_map needs even shards; GSPMD (XLA path) handles ragged
+            # batches itself.
+            am = None
         mode = solver
         if mode == "auto":
             on_tpu = jax.default_backend() == "tpu"

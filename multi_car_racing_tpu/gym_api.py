@@ -49,7 +49,17 @@ class Box:
 
     def sample(self, rng=None):
         rng = rng or np.random
-        return rng.uniform(self.low, self.high).astype(self.dtype)
+        # gymnasium semantics: uniform on bounded dims, standard normal on
+        # unbounded ones (np.random.uniform raises on infinite bounds).
+        bounded = np.isfinite(self.low) & np.isfinite(self.high)
+        out = rng.standard_normal(self.shape)
+        out = np.where(
+            bounded,
+            rng.uniform(np.where(bounded, self.low, 0.0),
+                        np.where(bounded, self.high, 1.0)),
+            out,
+        )
+        return out.astype(self.dtype)
 
     def contains(self, x):
         x = np.asarray(x)
@@ -278,7 +288,17 @@ class VectorMultiCarRacing:
             return None
 
         def _tick(state, actions, key):
-            state = tenv.reset_done_envs(cfg, state, self._pool, key)
+            # Autoreset only when some env actually needs it: reset_done_envs
+            # computes a full fresh reset (track gather + spawn physics tick)
+            # for the whole batch, which would double the physics cost of
+            # every step if run unconditionally.
+            needs = state.done | (state.steps >= max_episode_steps)
+            state = jax.lax.cond(
+                jnp.any(needs),
+                lambda s: tenv.reset_done_envs(cfg, s, self._pool, key),
+                lambda s: s,
+                state,
+            )
             state, r, d = jax.vmap(partial(tenv.step, cfg))(state, actions)
             return state, _obs(state), r, d | (state.steps >= max_episode_steps)
 

@@ -95,6 +95,9 @@ def pixel_observation_batched(cfg, state) -> jnp.ndarray:
     from .render import raster
 
     am = pmesh.ambient_mesh()
+    E = state.reward.shape[0]
+    if am is not None and E % am.size != 0:
+        am = None          # shard_map needs even shards; fall back to XLA
     if jax.default_backend() == "tpu" and (jax.device_count() == 1 or am is not None):
         from .render import pallas_raster
 

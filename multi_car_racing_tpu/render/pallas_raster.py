@@ -407,8 +407,8 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
 
         jax.lax.fori_loop(0, tq_ref.shape[1], far_body, 0)
 
-    # --- cars (id order: 8 wheel/marker quads then 4 hull polys per car)
-    # + backwards triangle. Car count is static from the table shapes.
+    # --- cars (id order: 8 wheel/marker quads then 4 hull polys per car).
+    # Car count is static from the table shapes.
     ncar = q4_ref.shape[1] // 8
 
     def q4_body(t, _):
@@ -422,8 +422,6 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
     for car in range(ncar):
         jax.lax.fori_loop(8 * car, 8 * car + 8, q4_body, 0)
         jax.lax.fori_loop(4 * car, 4 * car + 4, p8_body, 0)
-    if p8_ref.shape[1] > 4 * ncar:       # backwards flag slot
-        paint_poly(p8_ref, 4 * ncar, 8, 24, 25, 26, band=CAR_BAND)
 
     # --- HUD rects.
     def rect_body(t, _):
@@ -460,6 +458,12 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
         )
         cur = idx[pl.ds(r0, 16), :]
         idx[pl.ds(r0, 16), :] = jnp.where(on, R.PAL_WHITE, cur)
+
+    # --- backwards flag triangle, LAST (mcr:668-674 paints it after the
+    # HUD; its rows sit inside the black bar, so painting it before the
+    # rects erased it — a pixel the oracle shows on every backward frame).
+    if p8_ref.shape[1] > 4 * ncar:
+        paint_poly(p8_ref, 4 * ncar, 8, 24, 25, 26, band=CAR_BAND)
 
     # --- palette expansion in VMEM: idx plane -> 3 uint8 channel planes.
     # Doing this here (vs XLA on the int32 plane) avoids ~17 HBM passes over

@@ -45,6 +45,10 @@ def main():
 
     if args.distributed:
         if args.coordinator is not None:
+            if args.num_processes is None or args.process_id is None:
+                ap.error("--coordinator requires --num-processes and "
+                         "--process-id (they cannot be auto-detected from "
+                         "an address alone)")
             jax.distributed.initialize(
                 coordinator_address=args.coordinator,
                 num_processes=args.num_processes,

@@ -82,10 +82,19 @@ def _run_pair(extra, timeout=1200, retries=1):
         port = _free_port()
         procs = [_launch_worker(port, i, extra) for i in range(2)]
         outs = []
+        hung = False
         for p in procs:
-            out, _ = p.communicate(timeout=timeout)
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                hung = True
+                for q in procs:
+                    if q.poll() is None:
+                        os.kill(q.pid, signal.SIGKILL)
+                out, _ = p.communicate()
             outs.append(out)
-        if all(p.returncode == 0 for p in procs) or attempt == retries:
+        ok = not hung and all(p.returncode == 0 for p in procs)
+        if ok or attempt == retries:
             return procs, outs
     return procs, outs
 
@@ -110,14 +119,25 @@ def test_multihost_fault_injection_and_resume(tmp_path):
     procs = [_launch_worker(port, i, extra) for i in range(2)]
 
     # Wait for the first checkpoint, then kill worker 1 (host failure).
+    # select()-based read: a worker that hangs WITHOUT printing (stalled
+    # coordinator handshake) must trip the deadline, not block readline.
+    import select
+
     deadline = time.time() + 1200
     victim, survivor = procs[1], procs[0]
     seen = []
-    for line in victim.stdout:
-        seen.append(line)
-        if "checkpointed" in line:
+    got_ckpt = False
+    while time.time() < deadline and not got_ckpt:
+        ready, _, _ = select.select([victim.stdout], [], [], 5.0)
+        if not ready:
+            assert victim.poll() is None, "victim exited early:\n" + "".join(seen)
+            continue
+        line = victim.stdout.readline()
+        if not line:
             break
-        assert time.time() < deadline, "no checkpoint before deadline:\n" + "".join(seen)
+        seen.append(line)
+        got_ckpt = "checkpointed" in line
+    assert got_ckpt, "no checkpoint before deadline:\n" + "".join(seen)
     os.kill(victim.pid, signal.SIGKILL)
     victim.wait(timeout=60)
 

@@ -204,3 +204,21 @@ def test_four_agent_ego_color_h_ratio_variants():
     for v in range(4):
         patch = oracle[v, 36:60, 32:64].reshape(-1, 3).astype(int)
         assert (np.abs(patch - [204, 0, 0]).sum(-1) < 40).any()
+
+
+def test_backwards_flag_painted_over_hud(driven_state):
+    """The blue backwards triangle sits inside the HUD black bar rows and is
+    painted LAST (mcr:668-674); all three rasterizers must show it."""
+    from multi_car_racing_tpu.render import pallas_raster
+
+    cfg, state = driven_state
+    state = state.replace(driving_backward=jnp.ones(2, bool))
+    oracle = np.asarray(jax.jit(partial(xla_raster.render_observation, cfg))(state))
+    # blue flag pixels present
+    blue = (oracle[..., 2] == 255) & (oracle[..., 0] == 0) & (oracle[..., 1] == 0)
+    assert blue[:, 84:, :].any(), "oracle shows no flag pixels"
+    prod = np.asarray(jax.jit(partial(raster.render_observation, cfg))(state))
+    np.testing.assert_array_equal(prod, oracle)
+    st = jax.tree_util.tree_map(lambda x: jnp.stack([x]), state)
+    kern = np.asarray(pallas_raster.render_pixels(cfg, st, interpret=True))[0]
+    np.testing.assert_array_equal(kern, oracle)
