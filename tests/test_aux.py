@@ -119,3 +119,25 @@ def test_vector_env_pixels_shape():
     obs, r, d, _ = venv.step(np.zeros((2, 2, 3)))
     assert obs.shape == (2, 2, 96, 96, 3)
     venv.close()
+
+
+def test_checkpoint_relocatable(tmp_path):
+    """Two-slot checkpoints must survive being moved to a new path (pointer
+    stores the slot basename, resolved against the checkpoint directory)."""
+    import shutil
+    import jax
+    import jax.numpy as jnp
+    from multi_car_racing_tpu import checkpoint
+
+    tree = {"a": jnp.arange(6.0), "b": {"c": jnp.asarray(3, jnp.int32)}}
+    src = tmp_path / "orig"
+    src.mkdir()
+    checkpoint.save(str(src / "ck"), tree)
+    tree2 = jax.tree_util.tree_map(lambda x: x + 1, tree)
+    checkpoint.save(str(src / "ck"), tree2)       # second save -> other slot
+    dst = tmp_path / "moved"
+    shutil.move(str(src), str(dst))
+    template = jax.tree_util.tree_map(jnp.zeros_like, tree)
+    restored = checkpoint.restore(str(dst / "ck"), template)
+    assert float(restored["a"][3]) == 4.0         # latest (incremented) slot
+    assert int(restored["b"]["c"]) == 4
