@@ -21,9 +21,10 @@ class StateTorso(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.width)(x)
+        init = nn.initializers.orthogonal(jnp.sqrt(2.0))
+        x = nn.Dense(self.width, kernel_init=init)(x)
         x = nn.tanh(x)
-        x = nn.Dense(self.width)(x)
+        x = nn.Dense(self.width, kernel_init=init)(x)
         x = nn.tanh(x)
         return x
 

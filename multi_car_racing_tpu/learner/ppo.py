@@ -42,6 +42,13 @@ class PPOConfig:
     ent_coef: float = 0.0
     max_grad_norm: float = 0.5
     obs_type: str = "state"       # 'state' | 'pixels'
+    # Quality levers (COVERAGE.md gap 6). action_repeat holds each policy
+    # action for R env steps (rewards summed, classic CarRacing frame-skip) —
+    # credit assignment over the 50 Hz physics is hopeless without it.
+    action_repeat: int = 1
+    normalize_obs: bool = False   # running mean/var over state features
+    anneal_lr: bool = False       # linear lr -> 0 over total_updates
+    total_updates: int = 1000
 
 
 @pytree_dataclass
@@ -52,6 +59,33 @@ class TrainState:
     pool: Any                     # stacked Track (P, ...)
     key: jnp.ndarray
     update_i: jnp.ndarray         # () int32
+    obs_rms: Any = None           # dict(mean, var, count) | None
+
+
+def _rms_init(dim):
+    return dict(
+        mean=jnp.zeros((dim,), jnp.float32),
+        var=jnp.ones((dim,), jnp.float32),
+        count=jnp.asarray(1e-4, jnp.float32),
+    )
+
+
+def _rms_normalize(rms, obs):
+    return jnp.clip(
+        (obs - rms["mean"]) / jnp.sqrt(rms["var"] + 1e-8), -10.0, 10.0
+    )
+
+
+def _rms_update(rms, batch):
+    """Chan et al. parallel-variance merge of a new batch (..., D)."""
+    x = batch.reshape(-1, batch.shape[-1]).astype(jnp.float32)
+    bc = jnp.asarray(x.shape[0], jnp.float32)
+    bm, bv = x.mean(0), x.var(0)
+    delta = bm - rms["mean"]
+    tot = rms["count"] + bc
+    new_mean = rms["mean"] + delta * bc / tot
+    m2 = rms["var"] * rms["count"] + bv * bc + jnp.square(delta) * rms["count"] * bc / tot
+    return dict(mean=new_mean, var=m2 / tot, count=tot)
 
 
 def _observe(env_cfg, ppo_cfg, env_state):
@@ -69,6 +103,7 @@ def init_train_state(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, key) -> TrainSt
     dummy_obs = _observe(env_cfg, ppo_cfg, env_state)
     params = net.init(k_par, dummy_obs)
     tx = optimizer(ppo_cfg)
+    use_rms = ppo_cfg.normalize_obs and ppo_cfg.obs_type == "state"
     return TrainState(
         params=params,
         opt_state=tx.init(params),
@@ -76,13 +111,21 @@ def init_train_state(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, key) -> TrainSt
         pool=pool,
         key=key,
         update_i=jnp.asarray(0, jnp.int32),
+        obs_rms=_rms_init(dummy_obs.shape[-1]) if use_rms else None,
     )
 
 
 def optimizer(ppo_cfg: PPOConfig):
+    if ppo_cfg.anneal_lr:
+        lr = optax.linear_schedule(
+            ppo_cfg.lr, 0.0,
+            ppo_cfg.total_updates * ppo_cfg.epochs * ppo_cfg.minibatches,
+        )
+    else:
+        lr = ppo_cfg.lr
     return optax.chain(
         optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
-        optax.adam(ppo_cfg.lr),
+        optax.adam(lr),
     )
 
 
@@ -112,16 +155,37 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
         )
         return a, a_env, logp, value
 
+    use_rms = ppo_cfg.normalize_obs and ppo_cfg.obs_type == "state"
+    R = ppo_cfg.action_repeat
+
     def train_step(ts: TrainState):
         key = ts.key
         key, k_roll, k_reset, k_perm = jax.random.split(key, 4)
+
+        def norm(obs):
+            return _rms_normalize(ts.obs_rms, obs) if use_rms else obs
 
         def rollout_body(carry, _):
             env_state, key = carry
             key, k_act = jax.random.split(key)
             obs = _observe(env_cfg, ppo_cfg, env_state)          # (E, N, ...)
-            a, a_env, logp, value = policy(ts.params, obs, k_act)
-            env_state, r, done = env_step(env_state, a_env)
+            a, a_env, logp, value = policy(ts.params, norm(obs), k_act)
+            if R == 1:
+                env_state, r, done = env_step(env_state, a_env)
+            else:
+                # Frame skip: hold the action R steps, sum rewards. Env done
+                # is sticky, so the last step's flag covers the window.
+                def rep_body(carry, _):
+                    es, racc = carry
+                    es, r, done = env_step(es, a_env)
+                    return (es, racc + r), done
+
+                (env_state, r), dones = jax.lax.scan(
+                    rep_body,
+                    (env_state, jnp.zeros((E, N), jnp.float32)),
+                    None, length=R,
+                )
+                done = dones[-1]
             trans = dict(
                 obs=obs, action=a, logp=logp, value=value, reward=r,
                 done=jnp.broadcast_to(done[:, None], (E, N)),
@@ -134,7 +198,7 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
 
         # Bootstrap + GAE (masked at dones).
         last_obs = _observe(env_cfg, ppo_cfg, env_state)
-        _, _, last_value = net.apply(ts.params, last_obs)        # (E, N)
+        _, _, last_value = net.apply(ts.params, norm(last_obs))  # (E, N)
 
         def gae_body(carry, x):
             adv_next, v_next = carry
@@ -165,7 +229,7 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
         mb = B // ppo_cfg.minibatches
 
         def loss_fn(params, mbatch):
-            mean, log_std, value = net.apply(params, mbatch["obs"])
+            mean, log_std, value = net.apply(params, norm(mbatch["obs"]))
             logp = _logp_gauss(mean, log_std, mbatch["action"])
             ratio = jnp.exp(logp - mbatch["logp"])
             adv = mbatch["adv"]
@@ -210,7 +274,22 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             epoch_body, (ts.params, ts.opt_state), ep_keys
         )
 
+        # Episode returns: envs finished (done or time limit) right before
+        # autoreset carry the reference's cumulative score in state.reward.
+        fin = env_state.done | (env_state.steps >= env_cfg.max_episode_steps)
+        n_fin = jnp.sum(fin)
+        per_env_ret = env_state.reward.mean(-1)                  # (E,)
+        ep_return = jnp.where(
+            n_fin > 0,
+            jnp.sum(jnp.where(fin, per_env_ret, 0.0)) / jnp.maximum(n_fin, 1),
+            0.0,
+        )
+        ep_return_max = jnp.where(
+            n_fin > 0, jnp.max(jnp.where(fin, per_env_ret, -jnp.inf)), 0.0
+        )
+
         env_state = tenv.reset_done_envs(env_cfg, env_state, ts.pool, k_reset)
+        obs_rms = _rms_update(ts.obs_rms, traj["obs"]) if use_rms else None
 
         metrics = dict(
             loss=stats[0].mean(),
@@ -219,11 +298,15 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             ratio_dev=stats[3].mean(),
             mean_step_reward=traj["reward"].mean(),
             mean_value=traj["value"].mean(),
+            ep_return=ep_return,
+            ep_return_max=ep_return_max,
+            episodes_finished=n_fin.astype(jnp.float32),
         )
         return (
             TrainState(
                 params=params, opt_state=opt_state, env_state=env_state,
                 pool=ts.pool, key=key, update_i=ts.update_i + 1,
+                obs_rms=obs_rms,
             ),
             metrics,
         )

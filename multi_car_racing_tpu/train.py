@@ -25,6 +25,14 @@ def main():
     ap.add_argument("--num-agents", type=int, default=2)
     ap.add_argument("--obs", choices=["state", "pixels"], default="state")
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--gamma", type=float, default=0.99)
+    ap.add_argument("--ent-coef", type=float, default=0.0)
+    ap.add_argument("--action-repeat", type=int, default=1,
+                    help="hold each policy action this many env steps")
+    ap.add_argument("--normalize-obs", action="store_true",
+                    help="running mean/var normalization of state obs")
+    ap.add_argument("--anneal-lr", action="store_true",
+                    help="linear lr decay to 0 over --updates")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log", default=None, help="JSONL metrics path")
     ap.add_argument("--checkpoint", default=None, help="save path (every --ckpt-every)")
@@ -68,6 +76,9 @@ def main():
     ppo_cfg = ppo.PPOConfig(
         rollout_len=args.rollout, num_envs=args.num_envs, lr=args.lr,
         obs_type=args.obs, pool_size=args.pool_size,
+        gamma=args.gamma, ent_coef=args.ent_coef,
+        action_repeat=args.action_repeat, normalize_obs=args.normalize_obs,
+        anneal_lr=args.anneal_lr, total_updates=args.updates,
     )
 
     mesh = pmesh.make_mesh()
@@ -82,7 +93,8 @@ def main():
         train_step = jax.jit(ppo.make_train_step(env_cfg, ppo_cfg), donate_argnums=0)
 
         logger = metrics.JsonlLogger(args.log)
-        steps_per_update = args.rollout * args.num_envs * args.num_agents
+        steps_per_update = (args.rollout * args.action_repeat
+                            * args.num_envs * args.num_agents)
         with metrics.profile_trace(args.profile):
             for i in range(args.updates):
                 t0 = time.time()
@@ -97,6 +109,8 @@ def main():
                     f"update {row['update']:4d} "
                     f"loss {m['loss']:+.4f} v {m['v_loss']:.4f} "
                     f"r/step {m['mean_step_reward']:+.3f} "
+                    f"ret {m['ep_return']:+.1f} (max {m['ep_return_max']:+.1f}, "
+                    f"n={m['episodes_finished']:.0f}) "
                     f"tiles {env_m['mean_tiles_visited']:.1f} "
                     f"{row.get('env_steps_per_sec', 0):,.0f} steps/s"
                 )
