@@ -5,8 +5,9 @@ of which are installed. Box2D 2.3.5 (the exact pinned version) *is* installed,
 and gymnasium's ``car_dynamics`` is numerically identical to gym 0.17's
 (see SURVEY.md header caveat). These shims map the missing imports onto
 installed packages so the reference's physics/reward/track code runs unmodified
-— used ONLY by the parity-fixture generator (oracle/runner.py), never by the
-engine itself.
+— used ONLY by the parity tests (tests/test_env_parity.py,
+tests/test_collide.py, tests/test_physics_parity.py, tests/test_track_host.py),
+never by the engine itself.
 
 Seeding: ``gym.utils.seeding.np_random`` is mapped to *our* reimplementation of
 the gym 0.17.2 hash-seed chain (multi_car_racing_tpu.seeding), so fixtures and

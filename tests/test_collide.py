@@ -54,6 +54,60 @@ def test_rear_end_collision_matches_reference():
     assert 0.3 < our_disp / max(ref_disp, 1e-6) < 3.0
 
 
+def test_first_impact_velocity_parity():
+    """VERDICT round-1 #4: the pre-chaos window must match tightly.
+
+    Rear car rams the stationary front car (mcr:428 solve). Both engines must
+    register first contact on the SAME step, and the first impulse must give
+    float-tight velocity agreement across all cars (measured 1.6e-3 on
+    ~19 m/s). From the next step the cars stay in multi-point sliding
+    contact and solver reduction-order noise re-amplifies (measured ~1.3 m/s
+    by k=1) — asserted only at impulse scale."""
+    N = 4
+    env, order, rear, front = _setup(N)
+    acts = np.zeros((N, 3))
+    acts[rear] = [0.0, 1.0, 0.0]
+
+    ref_vel = []
+    for _ in range(60):
+        env.step(acts)
+        ref_vel.append((
+            np.array([np.asarray(c.hull.linearVelocity) for c in env.cars]),
+            np.array([c.hull.angularVelocity for c in env.cars]),
+        ))
+    ref_imp = next(
+        t for t, (v, w) in enumerate(ref_vel)
+        if np.linalg.norm(v[front]) > 1e-4
+    )
+
+    cfg = C.EnvConfig(num_agents=N)
+    state, _ = tenv.host_reset(cfg, seed=11, global_stream=seeding.GlobalStream(5))
+    step = jax.jit(partial(tenv.step, cfg))
+    our_vel = []
+    for _ in range(60):
+        state, _, _ = step(state, jnp.asarray(acts, jnp.float32))
+        our_vel.append(
+            (np.asarray(state.cars.hull_v), np.asarray(state.cars.hull_w))
+        )
+    our_imp = next(
+        t for t, (v, w) in enumerate(our_vel)
+        if np.linalg.norm(v[front]) > 1e-4
+    )
+
+    assert ref_imp == our_imp, (ref_imp, our_imp)
+    # k=0: the first contact impulse, all cars, linear + angular.
+    np.testing.assert_allclose(
+        our_vel[our_imp][0], ref_vel[ref_imp][0], atol=5e-3
+    )
+    np.testing.assert_allclose(
+        our_vel[our_imp][1], ref_vel[ref_imp][1], atol=2e-3
+    )
+    # k=1: sustained contact — impulse-scale agreement only.
+    np.testing.assert_allclose(
+        our_vel[our_imp + 1][0], ref_vel[ref_imp + 1][0], atol=2.5
+    )
+
+
 def test_no_contact_forces_at_spawn():
     """Side-by-side spawn (6 m apart): contacts must do nothing."""
     cfg = C.EnvConfig(num_agents=2)
