@@ -16,8 +16,12 @@ API-parity notes (SURVEY.md §2.1):
   divergence),
 - ``step`` re-flattens any action shape via reshape(num_agents, -1), like
   mcr:420,
-- ``render('human')`` returns the rgb_array frames (no windowing system is
-  assumed); 'state_pixels' and 'rgb_array' match the reference viewports.
+- ``render('human')`` opens a live SDL window (agent views tiled in one
+  window) and returns per-agent ``isopen`` bools when a display exists
+  (window.py); on headless hosts it returns the rgb_array frames instead.
+  'state_pixels' and 'rgb_array' match the reference viewports. For video
+  capture, wrap with ``monitor.Monitor`` (the gym Monitor equivalent,
+  mcr:714-717).
 """
 
 from __future__ import annotations
@@ -87,6 +91,15 @@ class MultiCarRacing:
         use_ego_color: bool = False,
         global_seed: int | None = None,
     ):
+        # EzPickle-equivalent (mcr:10,134): pickling captures the constructor
+        # args and unpickling re-runs __init__ — no mid-episode state capture,
+        # exactly like the reference.
+        self._ezpickle_kwargs = dict(
+            num_agents=num_agents, verbose=verbose, direction=direction,
+            use_random_direction=use_random_direction,
+            backwards_flag=backwards_flag, h_ratio=h_ratio,
+            use_ego_color=use_ego_color, global_seed=global_seed,
+        )
         self.cfg = C.EnvConfig(
             num_agents=num_agents,
             direction=direction,
@@ -103,6 +116,7 @@ class MultiCarRacing:
         self._global = seeding.GlobalStream(global_seed)
         self.np_random, _ = seeding.np_random(None)
         self._state = None
+        self._viewer = None
         self.reward = np.zeros(num_agents)
 
         n = num_agents
@@ -122,6 +136,13 @@ class MultiCarRacing:
             partial(raster.render_observation, cfg, vp_w=C.VIDEO_W, vp_h=C.VIDEO_H,
                     draw_particles=True)
         )
+
+    # -- pickling (EzPickle semantics, mcr:10,134) --------------------------
+    def __getstate__(self):
+        return dict(self._ezpickle_kwargs)
+
+    def __setstate__(self, kwargs):
+        self.__init__(**kwargs)
 
     # -- gym API ----------------------------------------------------------
     def seed(self, seed=None):
@@ -161,10 +182,22 @@ class MultiCarRacing:
             return None  # reference guards on reset-not-called (mcr:538)
         if mode == "state_pixels":
             return np.asarray(self._obs_fn(self._state))
-        return np.asarray(self._video_fn(self._state))
+        frames = np.asarray(self._video_fn(self._state))
+        if mode == "human":
+            from . import window
+
+            if self._viewer is None and window.display_available():
+                self._viewer = window.HumanViewer()
+            if self._viewer is not None:
+                # Reference contract: per-window isopen bools (mcr:595-597).
+                return self._viewer.show(frames)
+        return frames
 
     def close(self):
         self._state = None
+        if self._viewer is not None:
+            self._viewer.close()
+            self._viewer = None
 
     # -- convenience ------------------------------------------------------
     @property
@@ -199,6 +232,10 @@ class TimeLimit:
         self._elapsed = 0
 
     def __getattr__(self, name):
+        # 'env' / dunders must fail fast: during unpickling this runs before
+        # __dict__ is restored and a delegating lookup would recurse.
+        if name == "env" or name.startswith("__"):
+            raise AttributeError(name)
         return getattr(self.env, name)
 
     def reset(self):
@@ -313,7 +350,9 @@ class VectorMultiCarRacing:
     def reset(self):
         cfg = self.cfg
         if self._pool is None:
-            self._pool, _ = tenv.make_track_pool(cfg, self._split(), self._pool_size)
+            self._pool = tenv.make_track_pool_checked(
+                cfg, self._split(), self._pool_size
+            )
         keys = jax.random.split(self._split(), self.num_envs)
         self._state = self._reset_fn(keys)
         out = self._obs_fn(self._state)

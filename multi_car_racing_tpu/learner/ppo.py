@@ -97,7 +97,7 @@ def _observe(env_cfg, ppo_cfg, env_state):
 def init_train_state(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, key) -> TrainState:
     net = ActorCritic(obs_type=ppo_cfg.obs_type)
     k_pool, k_env, k_par, key = jax.random.split(key, 4)
-    pool, _ = tenv.make_track_pool(env_cfg, k_pool, ppo_cfg.pool_size)
+    pool = tenv.make_track_pool_checked(env_cfg, k_pool, ppo_cfg.pool_size)
     env_keys = jax.random.split(k_env, ppo_cfg.num_envs)
     env_state = jax.vmap(lambda k: tenv.device_reset(env_cfg, k))(env_keys)
     dummy_obs = _observe(env_cfg, ppo_cfg, env_state)
@@ -139,6 +139,7 @@ def _logp_gauss(mean, log_std, a):
 
 def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
     """Returns train_step(ts) -> (ts, metrics); jit (and shard) at call site."""
+    assert ppo_cfg.action_repeat >= 1, "action_repeat must be >= 1"
     net = ActorCritic(obs_type=ppo_cfg.obs_type)
     tx = optimizer(ppo_cfg)
     env_step = jax.vmap(partial(tenv.step, env_cfg))
@@ -165,30 +166,55 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
         def norm(obs):
             return _rms_normalize(ts.obs_rms, obs) if use_rms else obs
 
+        max_steps = env_cfg.max_episode_steps
+
         def rollout_body(carry, _):
             env_state, key = carry
             key, k_act = jax.random.split(key)
+            # Envs finished earlier in this rollout (no mid-rollout reset)
+            # keep stepping; their transitions are garbage — an off-field car
+            # pays -100 EVERY subsequent step (env._post_step) — so they are
+            # masked out of rewards here and out of the losses below.
+            alive = ~(env_state.done | (env_state.steps >= max_steps))
             obs = _observe(env_cfg, ppo_cfg, env_state)          # (E, N, ...)
             a, a_env, logp, value = policy(ts.params, norm(obs), k_act)
             if R == 1:
                 env_state, r, done = env_step(env_state, a_env)
+                r = r * alive.astype(jnp.float32)[:, None]
+                fin = done | (env_state.steps >= max_steps)
+                ret_snap = env_state.reward                       # (E, N)
             else:
                 # Frame skip: hold the action R steps, sum rewards. Env done
-                # is sticky, so the last step's flag covers the window.
+                # is sticky; rewards emitted after done (the env keeps paying
+                # -0.1/step and -100 while off-field) are masked out so a
+                # terminal event isn't scaled by where it lands in the window.
+                # ret_snap freezes the cumulative env score at the step the
+                # episode actually finished (for honest return metrics).
                 def rep_body(carry, _):
-                    es, racc = carry
+                    es, racc, seen_fin, snap = carry
                     es, r, done = env_step(es, a_env)
-                    return (es, racc + r), done
+                    live = 1.0 - seen_fin.astype(jnp.float32)
+                    racc = racc + r * live[:, None]
+                    snap = jnp.where(seen_fin[:, None], snap, es.reward)
+                    seen_fin = seen_fin | done | (es.steps >= max_steps)
+                    return (es, racc, seen_fin, snap), None
 
-                (env_state, r), dones = jax.lax.scan(
+                (env_state, r, fin, ret_snap), _ = jax.lax.scan(
                     rep_body,
-                    (env_state, jnp.zeros((E, N), jnp.float32)),
+                    (
+                        env_state,
+                        jnp.zeros((E, N), jnp.float32),
+                        ~alive,
+                        env_state.reward,
+                    ),
                     None, length=R,
                 )
-                done = dones[-1]
+                done = env_state.done
             trans = dict(
                 obs=obs, action=a, logp=logp, value=value, reward=r,
                 done=jnp.broadcast_to(done[:, None], (E, N)),
+                fin=fin, ret_snap=ret_snap,
+                alive=jnp.broadcast_to(alive[:, None], (E, N)),
             )
             return (env_state, key), trans
 
@@ -224,30 +250,39 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             obs=flat(traj["obs"]), action=flat(traj["action"]),
             logp=flat(traj["logp"]), value=flat(traj["value"]),
             adv=flat(advs), ret=flat(returns),
+            mask=flat(traj["alive"].astype(jnp.float32)),
         )
         B = T * E * N
         mb = B // ppo_cfg.minibatches
 
         def loss_fn(params, mbatch):
+            # Post-termination transitions (alive=0) carry no learning signal.
+            w = mbatch["mask"] / jnp.maximum(mbatch["mask"].sum(), 1.0)
             mean, log_std, value = net.apply(params, norm(mbatch["obs"]))
             logp = _logp_gauss(mean, log_std, mbatch["action"])
             ratio = jnp.exp(logp - mbatch["logp"])
             adv = mbatch["adv"]
-            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
-            pg = -jnp.minimum(
-                ratio * adv,
-                jnp.clip(ratio, 1 - ppo_cfg.clip_eps, 1 + ppo_cfg.clip_eps) * adv,
-            ).mean()
+            adv_mu = jnp.sum(adv * w)
+            adv_sd = jnp.sqrt(jnp.sum(jnp.square(adv - adv_mu) * w))
+            adv = (adv - adv_mu) / (adv_sd + 1e-8)
+            pg = -jnp.sum(
+                jnp.minimum(
+                    ratio * adv,
+                    jnp.clip(ratio, 1 - ppo_cfg.clip_eps, 1 + ppo_cfg.clip_eps) * adv,
+                ) * w
+            )
             v_clip = mbatch["value"] + jnp.clip(
                 value - mbatch["value"], -ppo_cfg.clip_eps, ppo_cfg.clip_eps
             )
-            v_loss = 0.5 * jnp.maximum(
-                jnp.square(value - mbatch["ret"]),
-                jnp.square(v_clip - mbatch["ret"]),
-            ).mean()
+            v_loss = 0.5 * jnp.sum(
+                jnp.maximum(
+                    jnp.square(value - mbatch["ret"]),
+                    jnp.square(v_clip - mbatch["ret"]),
+                ) * w
+            )
             ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1).mean()
             loss = pg + ppo_cfg.vf_coef * v_loss - ppo_cfg.ent_coef * ent
-            return loss, (pg, v_loss, jnp.abs(ratio - 1).mean())
+            return loss, (pg, v_loss, jnp.sum(jnp.abs(ratio - 1) * w))
 
         def epoch_body(carry, k_ep):
             params, opt_state = carry
@@ -274,18 +309,24 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             epoch_body, (ts.params, ts.opt_state), ep_keys
         )
 
-        # Episode returns: envs finished (done or time limit) right before
-        # autoreset carry the reference's cumulative score in state.reward.
-        fin = env_state.done | (env_state.steps >= env_cfg.max_episode_steps)
-        n_fin = jnp.sum(fin)
-        per_env_ret = env_state.reward.mean(-1)                  # (E,)
+        # Episode returns: the cumulative env score snapshotted at the step
+        # the episode actually finished (done or time limit) — not biased by
+        # the -0.1/step the env keeps paying until the end-of-update autoreset.
+        fin_t = traj["fin"]                                      # (T, E)
+        finished = fin_t.any(0)                                  # (E,)
+        tfirst = jnp.argmax(fin_t, axis=0)                       # (E,)
+        snap = jnp.take_along_axis(
+            traj["ret_snap"], tfirst[None, :, None], axis=0
+        )[0]                                                     # (E, N)
+        n_fin = jnp.sum(finished)
+        per_env_ret = snap.mean(-1)                              # (E,)
         ep_return = jnp.where(
             n_fin > 0,
-            jnp.sum(jnp.where(fin, per_env_ret, 0.0)) / jnp.maximum(n_fin, 1),
+            jnp.sum(jnp.where(finished, per_env_ret, 0.0)) / jnp.maximum(n_fin, 1),
             0.0,
         )
         ep_return_max = jnp.where(
-            n_fin > 0, jnp.max(jnp.where(fin, per_env_ret, -jnp.inf)), 0.0
+            n_fin > 0, jnp.max(jnp.where(finished, per_env_ret, -jnp.inf)), 0.0
         )
 
         env_state = tenv.reset_done_envs(env_cfg, env_state, ts.pool, k_reset)

@@ -14,7 +14,13 @@ import jax.numpy as jnp
 from . import config as C
 from .env import EnvState
 
-STATE_OBS_DIM = 20
+STATE_OBS_DIM = 38
+
+# Tile-index offsets of the lookahead waypoints (signed by episode direction:
+# a CW episode traverses the track in decreasing index order). At the mean
+# tile spacing of TRACK_DETAIL_STEP = 3.5 m the farthest point is ~157 m out
+# — ~3 s of lookahead at racing speed, enough to set up for corners.
+LOOKAHEAD_OFFSETS = (3, 6, 10, 15, 21, 28, 36, 45)
 
 
 def state_observation(state: EnvState) -> jnp.ndarray:
@@ -29,8 +35,13 @@ def state_observation(state: EnvState) -> jnp.ndarray:
       10    steer target, 11 rear gas, 12 brake
       13:15 vector to nearest tile center, car frame / 10
       15:17 cos/sin of heading error vs track direction
-      17    curvature ahead (beta[i+5] - beta[i], wrapped) / 0.5
+      17    curvature ahead (signed beta[i±5] - beta[i], wrapped) / 0.5
       18    on-grass flag, 19 driving-backward flag
+      20:36 8 lookahead waypoints (car-frame forward, lateral) / 40, at the
+            direction-signed tile offsets LOOKAHEAD_OFFSETS — the racing-line
+            preview that makes anticipatory (fast) driving learnable
+      36:38 cos/sin of the track tangent at the farthest waypoint relative to
+            the car heading
     """
     cars = state.cars
     s, c = jnp.sin(cars.hull_a), jnp.cos(cars.hull_a)
@@ -54,7 +65,12 @@ def state_observation(state: EnvState) -> jnp.ndarray:
     nx = pick(state.track.xy[:, 0], oh)
     ny = pick(state.track.xy[:, 1], oh)
     nbeta = pick(state.track.beta, oh)
-    ahead = jnp.arange(mt)[None, :] == jnp.mod(nearest[:, None] + 5, state.track.n_tiles)
+    # Direction-signed "ahead": CW episodes run the track in decreasing
+    # tile-index order.
+    sign = jnp.where(state.direction_cw, -1, 1)
+    ahead = jnp.arange(mt)[None, :] == jnp.mod(
+        nearest[:, None] + 5 * sign, state.track.n_tiles
+    )
     beta_ahead = pick(state.track.beta, ahead)
 
     rel = jnp.stack([nx, ny], axis=-1) - origin
@@ -63,10 +79,24 @@ def state_observation(state: EnvState) -> jnp.ndarray:
 
     desired = nbeta + jnp.where(state.direction_cw, jnp.pi, 0.0)
     err = desired - cars.hull_a
-    curv = jnp.mod(beta_ahead - nbeta + jnp.pi, 2 * jnp.pi) - jnp.pi
+    curv = sign * (jnp.mod(beta_ahead - nbeta + jnp.pi, 2 * jnp.pi) - jnp.pi)
+
+    # Lookahead waypoints: car-frame positions of tiles ahead along the
+    # driving direction (one-hot MXU contraction, no gathers).
+    offs = jnp.asarray(LOOKAHEAD_OFFSETS, jnp.int32)              # (K,)
+    wp_idx = jnp.mod(nearest[:, None] + offs[None, :] * sign, state.track.n_tiles)
+    wp_oh = (
+        jnp.arange(mt)[None, None, :] == wp_idx[:, :, None]
+    ).astype(state.track.xy.dtype)                                # (N, K, MT)
+    wp_xy = jnp.einsum("nkm,md->nkd", wp_oh, state.track.xy)      # (N, K, 2)
+    wp_rel = wp_xy - origin[:, None, :]
+    wp_f = jnp.sum(wp_rel * fwd[:, None, :], axis=-1) / 40.0      # (N, K)
+    wp_l = jnp.sum(wp_rel * lat[:, None, :], axis=-1) / 40.0
+    far_beta = jnp.einsum("nm,m->n", wp_oh[:, -1], state.track.beta)
+    far_err = far_beta + jnp.where(state.direction_cw, jnp.pi, 0.0) - cars.hull_a
 
     f = state.reward.dtype
-    return jnp.stack(
+    base = jnp.stack(
         [
             v_f / 40.0, v_l / 40.0, cars.hull_w / 3.0, speed / 40.0,
             cars.spin[:, 0] / 120.0, cars.spin[:, 1] / 120.0,
@@ -77,6 +107,11 @@ def state_observation(state: EnvState) -> jnp.ndarray:
             jnp.cos(err), jnp.sin(err), curv / 0.5,
             state.driving_on_grass.astype(f), state.driving_backward.astype(f),
         ],
+        axis=-1,
+    )
+    wps = jnp.stack([wp_f, wp_l], axis=-1).reshape(base.shape[0], -1)  # (N, 2K)
+    return jnp.concatenate(
+        [base, wps, jnp.cos(far_err)[:, None], jnp.sin(far_err)[:, None]],
         axis=-1,
     )
 

@@ -77,4 +77,5 @@ def shard_train_state(ts, mesh: Mesh):
         pool=place(ts.pool, sh_rep),
         key=jax.device_put(ts.key, sh_rep),
         update_i=jax.device_put(ts.update_i, sh_rep),
+        obs_rms=place(ts.obs_rms, sh_rep) if ts.obs_rms is not None else None,
     )

@@ -23,6 +23,12 @@ def main():
     ap.add_argument("--pool-size", type=int, default=32,
                     help="autoreset track-pool size")
     ap.add_argument("--num-agents", type=int, default=2)
+    ap.add_argument("--carracing-v0", action="store_true",
+                    help="reference CarRacing-v0 preset: 1 agent, fixed CCW "
+                         "direction, no backwards flag (README.md:66-71)")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="run a deterministic fresh-track eval every N updates")
+    ap.add_argument("--eval-episodes", type=int, default=20)
     ap.add_argument("--obs", choices=["state", "pixels"], default="state")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--gamma", type=float, default=0.99)
@@ -69,9 +75,18 @@ def main():
     from .learner import ppo
     from .parallel import mesh as pmesh
 
+    if args.action_repeat < 1:
+        ap.error("--action-repeat must be >= 1")
+    if args.normalize_obs and args.obs == "pixels":
+        ap.error("--normalize-obs only applies to --obs state "
+                 "(pixel frames are uint8-scaled inside the network)")
+
     env_kw = {}
     if args.fast_solver:
         env_kw = dict(velocity_iters=30, position_iters=12)
+    if args.carracing_v0:
+        args.num_agents = 1
+        env_kw.update(use_random_direction=False, backwards_flag=False)
     env_cfg = C.EnvConfig(num_agents=args.num_agents, **env_kw)
     ppo_cfg = ppo.PPOConfig(
         rollout_len=args.rollout, num_envs=args.num_envs, lr=args.lr,
@@ -91,6 +106,13 @@ def main():
             print(f"resumed from {args.resume} at update {int(ts.update_i)}")
         ts = pmesh.shard_train_state(ts, mesh)
         train_step = jax.jit(ppo.make_train_step(env_cfg, ppo_cfg), donate_argnums=0)
+        eval_fn = None
+        if args.eval_every:
+            from .learner import evaluate as ev
+
+            eval_fn = ev.make_eval_fn(env_cfg, ppo_cfg, args.eval_episodes)
+            eval_key = jax.random.PRNGKey(args.seed + 1_000_003)
+            best_eval = -float("inf")
 
         logger = metrics.JsonlLogger(args.log)
         steps_per_update = (args.rollout * args.action_repeat
@@ -117,6 +139,27 @@ def main():
                 if args.checkpoint and (i + 1) % args.ckpt_every == 0:
                     checkpoint.save(args.checkpoint, ts)
                     print(f"checkpointed -> {args.checkpoint}")
+                if eval_fn is not None and (i + 1) % args.eval_every == 0:
+                    eval_key, k = jax.random.split(eval_key)
+                    summary = ev.summarize(eval_fn(ts.params, ts.obs_rms, k))
+                    logger.log(
+                        int(ts.update_i) * steps_per_update, summary,
+                        update=int(ts.update_i),
+                    )
+                    print(
+                        f"  eval: return {summary['eval_return']:+.1f} "
+                        f"± {summary['eval_return_std']:.1f} "
+                        f"(min {summary['eval_return_min']:+.1f}, "
+                        f"max {summary['eval_return_max']:+.1f}) "
+                        f"tiles {100 * summary['eval_tiles_frac']:.1f}% "
+                        f"len {summary['eval_len']:.0f} "
+                        f"over {summary['eval_episodes']} episodes"
+                    )
+                    if args.checkpoint and summary["eval_return"] > best_eval:
+                        best_eval = summary["eval_return"]
+                        checkpoint.save(args.checkpoint + "_best", ts)
+                        print(f"  new best ({best_eval:+.1f}) -> "
+                              f"{args.checkpoint}_best")
 
     if args.checkpoint:
         checkpoint.save(args.checkpoint, ts)

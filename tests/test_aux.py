@@ -93,12 +93,12 @@ def test_vector_env_facade():
         max_episode_steps=12, velocity_iters=8, position_iters=3,
     )
     obs = venv.reset()
-    assert obs.shape == (E, N, 20)
+    assert obs.shape == (E, N, tobs.STATE_OBS_DIM)
     a = np.tile([0.0, 0.7, 0.0], (E, N, 1))
     steps_before = np.asarray(venv.state.steps)
     for t in range(14):
         obs, r, d, _ = venv.step(a)
-        assert obs.shape == (E, N, 20) and r.shape == (E, N) and d.shape == (E,)
+        assert obs.shape == (E, N, tobs.STATE_OBS_DIM) and r.shape == (E, N) and d.shape == (E,)
     # time limit is 12: every env must have been autoreset at least once,
     # so step counters are all < 14.
     assert (np.asarray(venv.state.steps) < 14).all()

@@ -108,3 +108,30 @@ def test_pool_autoreset():
     assert (r[3] == 55.0).all()
     assert not bool(out.done[0])
     assert int(out.steps[1]) == 1  # spawn tick counts one step
+
+
+def test_generation_failure_is_loud(monkeypatch):
+    """VERDICT round-1 weak #5: exhausted retries must never silently produce
+    a trainable degenerate track. device_reset marks the state terminated;
+    the checked pool constructor raises."""
+    import pytest
+
+    real = tdev._attempt
+
+    def always_fail(key, max_tiles, max_points, dtype=jnp.float32):
+        out = real(key, max_tiles, max_points, dtype)
+        return (*out[:-1], jnp.asarray(False))
+
+    monkeypatch.setattr(tdev, "_attempt", always_fail)
+    cfg = C.EnvConfig(
+        num_agents=1, velocity_iters=2, position_iters=2, max_track_retries=2
+    )
+    state = tenv.device_reset(cfg, jax.random.PRNGKey(0))
+    assert bool(state.done), "failed generation must mark the env done"
+    assert int(state.steps) >= cfg.max_episode_steps
+
+    # ...and the autoreset pass must consider it in need of replacement.
+    assert bool(state.done | (state.steps >= cfg.max_episode_steps))
+
+    with pytest.raises(RuntimeError, match="failed generation"):
+        tenv.make_track_pool_checked(cfg, jax.random.PRNGKey(1), 2, max_rounds=2)
