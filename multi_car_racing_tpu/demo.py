@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--interactive", action="store_true",
                     help="keyboard play in the terminal (ANSI rendering; "
                          "arrows car 0, WASD car 1 — see tui.py)")
+    ap.add_argument("--monitor", default=None, metavar="DIR",
+                    help="record per-episode mp4 + stats.json to DIR "
+                         "(gym Monitor equivalent, mcr:714-717)")
+    ap.add_argument("--window", action="store_true",
+                    help="also flip frames to a live window each step "
+                         "(needs a display; render('human'))")
     args = ap.parse_args()
 
     if args.interactive:
@@ -60,6 +66,10 @@ def main():
     from . import gym_api
 
     env = gym_api.make("MultiCarRacing-v0", num_agents=args.num_cars, verbose=1)
+    if args.monitor:
+        from . import monitor
+
+        env = monitor.Monitor(env, args.monitor, force=True)
     env.seed(args.seed)
     rng = np.random.RandomState(args.seed)
 
@@ -73,6 +83,10 @@ def main():
             a = rng.uniform([-1, 0, 0], [1, 1, 0.2], size=(args.num_cars, 3))
         obs, r, done, info = env.step(a)
         total_reward += r
+        if args.window:
+            # Reference demo loop gates on render().all() (mcr:735).
+            if not np.asarray(env.render("human")).all():
+                break
         if step % args.every == 0:
             frames.append(obs[args.view])
         if step % 200 == 0 or done:
