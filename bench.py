@@ -32,7 +32,8 @@ def main():
     E = int(os.environ.get("MCR_BENCH_ENVS", 4096))
     T = int(os.environ.get("MCR_BENCH_STEPS", 100))
     N_TRACKS = int(os.environ.get("MCR_BENCH_TRACKS", 16))
-    cfg = C.EnvConfig(num_agents=2)
+    N = int(os.environ.get("MCR_BENCH_AGENTS", 2))  # BASELINE.json config 3: 4
+    cfg = C.EnvConfig(num_agents=N)
 
     # Host-generate a small set of distinct tracks and tile the batch from
     # them (physics cost is track-independent; this keeps bench startup
@@ -57,7 +58,7 @@ def main():
             [
                 np.stack(
                     [
-                        rng.uniform([-1, 0, 0], [1, 1, 0.2], size=(2, 3))
+                        rng.uniform([-1, 0, 0], [1, 1, 0.2], size=(N, 3))
                         for _ in range(E)
                     ]
                 )
@@ -102,8 +103,10 @@ def main():
     elapsed = time.time() - t0
 
     steps_per_sec = E * T / elapsed
-    baseline = 544.0  # reference, 2 agents, no render (BASELINE.md)
-    metric = "env_steps_per_sec_per_chip_4096x2agents"
+    # Reference, no render, one CPU core (BASELINE.md): 1058 / 544 / 258
+    # env-steps/s at 1 / 2 / 4 agents.
+    baseline = {1: 1058.0, 2: 544.0, 4: 258.0}.get(N, 544.0 * 2 / N)
+    metric = f"env_steps_per_sec_per_chip_{E}x{N}agents"
     if pixels:
         metric += "_pixels"
     print(

@@ -110,7 +110,7 @@ B2_MAX_TRANSLATION = 2.0
 B2_MAX_ROTATION = 0.5 * math.pi
 B2_VELOCITY_THRESHOLD = 1.0
 # Sensor overlap fires when the GJK gap is below the summed polygon skins;
-# our SAT test uses this as its margin (see physics/contacts.py).
+# our SAT test uses this as its margin (see physics/overlap.py).
 SENSOR_OVERLAP_MARGIN = 2.0 * B2_POLYGON_RADIUS
 
 # Default friction of fixtures that don't set one (hull, tiles): 0.2.

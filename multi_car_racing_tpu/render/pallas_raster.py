@@ -24,10 +24,10 @@ Organization:
 - XLA post: crop the 32 pad lanes, transpose to (E, N, 96, 96, 3).
 
 The slot tables make this kernel exact for the full episode including the
-first-second zoom-out: tiles outside the windows are handled by the same
-windowing as render/raster.py (same documented warmup approximation), but
-banding makes the zoomed-out phase cheap rather than wrong-er: every slot
-still paints, just into a tiny band.
+first-second zoom-out: warmup frames take a dedicated full-track pass (all
+tiles, not just the near window — see the `@pl.when(warmup)` branch below and
+tests/test_render.py's warmup cases), and banding keeps that zoomed-out
+phase cheap: every slot still paints, just into a tiny band.
 """
 
 from __future__ import annotations
