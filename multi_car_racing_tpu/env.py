@@ -131,6 +131,122 @@ def _visit_rewards(state: EnvState, car_tile: jnp.ndarray, num_agents: int):
 
 
 @lru_cache(maxsize=None)
+def _make_track_pass(num_agents: int, solver: str, exact_hull_touch: bool):
+    """The fused per-step track stage (contact SAT + visit rewards + render
+    flattening + post-step nearest/on-grass) with a batching rule.
+
+    Unbatched calls (gym facade, parity tests) run the round-1 XLA ops
+    unchanged. Under ``vmap`` on TPU the whole stage dispatches to the
+    fused Pallas sweep (physics/track_engine.py) — one VMEM-resident pass
+    over the track tables instead of three separate HBM sweeps. Arguments:
+    (track, pre_cars, post_origin, visited, tile_touched); ``pre_cars`` is
+    the pre-solve pose (Box2D collides at the start of world.Step), while
+    nearest/on-grass use the post-solve ``post_origin`` (mcr:446-495)."""
+    from jax import custom_batching
+    from .parallel import mesh as pmesh
+    from .physics import track_engine
+    from .physics.state import wheel_forward_side
+
+    n = num_agents
+
+    def _single(track, pre_cars, post_origin, visited, tile_touched):
+        wheel_ov = overlap.wheel_tile_overlap(pre_cars, track)   # (N,4,MT)
+        wheel_on_road = wheel_ov.any(-1)
+        car_tile = wheel_ov.any(1)                               # (N, MT)
+        if exact_hull_touch:
+            fv, fn = overlap.car_fixture_world_geometry(pre_cars)
+            hull_ov = overlap.fixtures_vs_quads(fv, fn, track.quad)[:, 0:4]
+            touched = (car_tile | hull_ov.any(1)).any(0)
+        else:
+            hull_in = overlap.point_in_quads_T(
+                pre_cars.hull_origin, track.quad_T
+            )
+            touched = (car_tile | hull_in).any(0)
+
+        f32 = track.xy.dtype
+        new = car_tile & ~visited & track.valid[None, :]
+        prev_count = jnp.sum(visited, axis=0)
+        rank = jnp.cumsum(new, axis=0) - new.astype(jnp.int32)
+        past = prev_count[None, :] + rank
+        factor = 1.0 - past.astype(f32) / n
+        tile_bonus = 1000.0 / track.n_tiles.astype(f32)
+        bonus = jnp.sum(new * factor, axis=1) * tile_bonus
+        new_visited = visited | new
+        cnt = jnp.sum(new, axis=1, dtype=jnp.int32)
+
+        d2 = jnp.sum(
+            jnp.square(post_origin[:, None, :] - track.xy[None, :, :]), axis=-1
+        )
+        d2 = jnp.where(track.valid[None, :], d2, jnp.inf)
+        nearest = jnp.argmin(d2, axis=1)
+        onehot = jnp.arange(track.max_tiles)[None, :] == nearest[:, None]
+        nearest_beta = jnp.sum(
+            jnp.where(onehot, track.beta[None, :], 0.0), axis=1
+        )
+        in_road = overlap.point_in_quads_T(post_origin, track.quad_T)
+        in_curb = overlap.point_in_quads_T(post_origin, track.curb_quad_T)
+        on_grass = ~(in_road.any(-1) | in_curb.any(-1))
+        return (
+            wheel_on_road, new_visited, bonus, cnt,
+            tile_touched | touched, nearest_beta, on_grass,
+        )
+
+    @custom_batching.custom_vmap
+    def track_pass(track, pre_cars, post_origin, visited, tile_touched):
+        return _single(track, pre_cars, post_origin, visited, tile_touched)
+
+    @track_pass.def_vmap
+    def _rule(axis_size, in_batched, track, pre_cars, post_origin, visited,
+              tile_touched):
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        track, pre_cars, post_origin, visited, tile_touched = (
+            jax.tree_util.tree_map(bcast, arg, flags)
+            for arg, flags in zip(
+                (track, pre_cars, post_origin, visited, tile_touched),
+                in_batched,
+            )
+        )
+        am = pmesh.ambient_mesh()
+        if am is not None and axis_size % am.size != 0:
+            am = None
+        mode = solver
+        if mode == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+            mode = (
+                "pallas"
+                if on_tpu and (jax.device_count() == 1 or am is not None)
+                and not exact_hull_touch
+                else "xla"
+            )
+        if mode == "pallas" and not exact_hull_touch:
+            interpret = jax.default_backend() != "tpu"
+
+            def call(track, pre_cars, post_origin, visited, tile_touched):
+                forw, side = wheel_forward_side(pre_cars)
+                return track_engine.track_pass_batched(
+                    track.quad_T, track.quad_ax_T, track.quad_lo,
+                    track.quad_hi, track.curb_quad_T, track.xy, track.beta,
+                    track.valid, track.n_tiles,
+                    pre_cars.wheel_c, forw, side, pre_cars.hull_origin,
+                    post_origin, visited, tile_touched,
+                    num_agents=n, interpret=interpret,
+                )
+
+            if am is not None:
+                call = pmesh.shard_leading(call, am)
+            out = call(track, pre_cars, post_origin, visited, tile_touched)
+        else:
+            out = jax.vmap(_single)(
+                track, pre_cars, post_origin, visited, tile_touched
+            )
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    return track_pass
+
+
+@lru_cache(maxsize=None)
 def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
                  solver: str):
     """Physics stage (tire model + Collide pass + constraint solve) with a
@@ -267,7 +383,8 @@ def _physics_and_contacts(state: EnvState, cfg: Cfg.EnvConfig):
     ), bonus
 
 
-def _post_step(state: EnvState, cfg: Cfg.EnvConfig, gain: jnp.ndarray):
+def _post_step(state: EnvState, cfg: Cfg.EnvConfig, gain: jnp.ndarray,
+               nearest_beta: jnp.ndarray, on_grass: jnp.ndarray):
     """Stage 5 (mcr:433-508): step cost, backward/grass flags, termination.
 
     ``gain`` is this step's reward delta before the step cost (tile bonuses
@@ -278,13 +395,16 @@ def _post_step(state: EnvState, cfg: Cfg.EnvConfig, gain: jnp.ndarray):
     drifts the summed return by ~5e-3 per 1000 steps (measured) — computing
     it directly from the small per-step quantities keeps each step reward
     exact while the cumulative stays bit-identical (reward = prev + gain
-    either way)."""
+    either way).
+
+    ``nearest_beta``/``on_grass`` come from the fused track pass
+    (_make_track_pass), evaluated on this (post-solve) pose."""
     n = cfg.num_agents
     f32 = state.reward.dtype
     reward = state.reward - 0.1
     step_reward = gain - jnp.asarray(0.1, f32)
 
-    # --- per-car backward / on-grass analysis (mcr:446-495).
+    # --- per-car backward analysis (mcr:446-495).
     vel = state.cars.hull_v
     speed = jnp.linalg.norm(vel, axis=-1)
     car_angle = jnp.where(
@@ -293,17 +413,6 @@ def _post_step(state: EnvState, cfg: Cfg.EnvConfig, gain: jnp.ndarray):
     car_angle = jnp.mod(car_angle + 2 * jnp.pi, 2 * jnp.pi)
 
     origin = state.cars.hull_origin                               # (N, 2)
-    d2 = jnp.sum(
-        jnp.square(origin[:, None, :] - state.track.xy[None, :, :]), axis=-1
-    )
-    d2 = jnp.where(state.track.valid[None, :], d2, jnp.inf)
-    nearest = jnp.argmin(d2, axis=1)                              # (N,)
-    in_road = overlap.point_in_quads_T(origin, state.track.quad_T)   # (N, MT)
-    in_curb = overlap.point_in_quads_T(origin, state.track.curb_quad_T)
-    on_grass = ~(in_road.any(-1) | in_curb.any(-1))
-
-    onehot = jnp.arange(state.track.max_tiles)[None, :] == nearest[:, None]
-    nearest_beta = jnp.sum(jnp.where(onehot, state.track.beta[None, :], 0.0), axis=1)
     desired = nearest_beta + jnp.where(
         state.direction_cw, jnp.pi, 0.0
     ).astype(f32)
@@ -373,10 +482,42 @@ def step(cfg: Cfg.EnvConfig, state: EnvState, action: jnp.ndarray):
     # small there, so the f32 subtraction is exact to ~1e-6; on every other
     # step reward == prev_reward and the carry is exactly zero.
     carry = state.reward - state.prev_reward
-    cars = apply_controls(state.cars, jnp.asarray(action, state.reward.dtype))
-    state = state.replace(cars=cars)
-    state, bonus = _physics_and_contacts(state, cfg)
-    return _post_step(state, cfg, bonus + carry)
+    pre_cars = apply_controls(state.cars, jnp.asarray(action, state.reward.dtype))
+    lagged = state.wheel_on_road
+
+    # Physics first (tire forces use the LAGGED contact mask — Box2D collides
+    # at the start of world.Step), then ONE fused track pass: the SAT/reward
+    # stages read the pre-solve pose, nearest/on-grass the post-solve pose,
+    # so the ordering swap is exact w.r.t. the reference's step.
+    solve = _make_solver(
+        cfg.num_agents, cfg.velocity_iters, cfg.position_iters, cfg.solver
+    )
+    new_cars, skid_flag, new_cs = solve(pre_cars, lagged, state.contacts)
+
+    skid = state.skid
+    if cfg.track_skid:
+        skid = particles.update(skid, pre_cars.wheel_c, skid_flag, lagged)
+
+    track_pass = _make_track_pass(cfg.num_agents, cfg.solver, cfg.exact_hull_touch)
+    (wheel_on_road, visited, bonus, cnt, tile_touched, nearest_beta,
+     on_grass) = track_pass(
+        state.track, pre_cars, new_cars.hull_origin,
+        state.visited, state.tile_touched,
+    )
+
+    state = state.replace(
+        cars=new_cars,
+        contacts=new_cs,
+        skid=skid,
+        wheel_on_road=wheel_on_road,
+        visited=visited,
+        tile_touched=tile_touched,
+        reward=state.reward + bonus,
+        tile_visited_count=state.tile_visited_count + cnt,
+        t=state.t + C.DT,
+        steps=state.steps + 1,
+    )
+    return _post_step(state, cfg, bonus + carry, nearest_beta, on_grass)
 
 
 def device_reset(cfg: Cfg.EnvConfig, key) -> EnvState:

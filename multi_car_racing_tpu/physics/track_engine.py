@@ -1,0 +1,276 @@
+"""Fused Pallas TPU kernel for the per-step track passes.
+
+Round-1 profile (docs/PERF.md): after the physics mega-kernel, the
+remaining ~2 ms/step at 4096x2 envs was three separate XLA sweeps over the
+(E, N*4, MT) wheel-vs-tile space — the SAT contact pass (~1.0 ms), the
+post-step track analysis (~0.6 ms) and the visit-reward engine (~0.4 ms) —
+each re-reading the per-env track tables from HBM with big boolean
+intermediates in between. This kernel does all of it in ONE sweep with the
+tables VMEM-resident:
+
+- wheel-rect vs tile SAT (physics/overlap.wheel_tile_overlap semantics:
+  6 axes, analytic support radius) -> lagged friction mask for the next
+  step (cd:180-186),
+- FrictionDetector visit bookkeeping (mcr:110-120): new-visit mask,
+  first/second-visitor factors (car-id tie-break), per-car bonus,
+- render "touched" flattening incl. hull-center-in-tile (mcr:102-104),
+- post-step analysis on the post-solve pose (mcr:446-495): nearest-tile
+  heading (argmin over the centerline) and the on-grass flag
+  (hull center inside any road/curb quad; env._post_step).
+
+Layout: env-major blocks (eb envs per program, fori_loop inside); per env
+the working set is (4N wheels x MT tiles) with wheels on sublanes and tiles
+on lanes — full VPU occupancy with zero table transposes: the (4, 2, MT)
+tiles-last tables the Track already stores reshape (bitcast) to (8, MT)
+slabs. The arithmetic mirrors physics/overlap.py and env._post_step
+term-for-term so results match the XLA path to float-accumulation noise
+(tests/test_track_engine.py runs both on CPU, interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import config as C
+
+_HX = float(C.WHEEL_W * C.SIZE)     # wheel rect half-width (side axis)
+_HY = float(C.WHEEL_R * C.SIZE)     # wheel rect half-height (forward axis)
+_MARGIN = float(C.SENSOR_OVERLAP_MARGIN)
+_BIG = 1.0e30
+
+
+def _eb_for(E: int) -> int:
+    for eb in (32, 16, 8, 4, 2, 1):
+        if E % eb == 0:
+            return eb
+    return 1
+
+
+def _make_kernel(num_agents: int, eb: int, mt: int):
+    N = num_agents
+    W = 4 * N
+
+    def kernel(quad_ref, ax_ref, lohi_ref, curb_ref, misc_ref, ws_ref,
+               ho_ref, vis_ref, tt_ref,
+               won_out, car_out, vis_out, tt_out):
+        def body(e, _):
+            Q = quad_ref[e]          # (8, MT)  v*2+c rows of quad_T
+            AX = ax_ref[e]           # (8, MT)  a*2+c rows of quad_ax_T
+            LH = lohi_ref[e]         # (8, MT)  rows 0-3 lo, 4-7 hi
+            MS = misc_ref[e]         # (4, MT)  rows x, y, beta, valid
+            WS = ws_ref[e]           # (W, 8)   cols cx cy fx fy sx sy
+            HO = ho_ref[e]           # (N, 8)   cols pre_ox pre_oy post_ox
+                                     #          post_oy n_tiles
+            VIS = vis_ref[e]         # (N, MT)  visited (0/1)
+            TT = tt_ref[e]           # (1, MT)  touched (0/1)
+
+            cx, cy = WS[:, 0:1], WS[:, 1:2]
+            fx, fy = WS[:, 2:3], WS[:, 3:4]
+            sx, sy = WS[:, 4:5], WS[:, 5:6]
+
+            # --- SAT (overlap.wheel_tile_overlap term-for-term) ----------
+            sep = None
+            for axx, axy, h in ((sx, sy, _HX), (fx, fy, _HY)):
+                cp = cx * axx + cy * axy                     # (W, 1)
+                lo_b = hi_b = None
+                for v in range(4):
+                    qx = Q[2 * v:2 * v + 1, :]               # (1, MT)
+                    qy = Q[2 * v + 1:2 * v + 2, :]
+                    p = axx * qx + axy * qy                  # (W, MT)
+                    lo_b = p if lo_b is None else jnp.minimum(lo_b, p)
+                    hi_b = p if hi_b is None else jnp.maximum(hi_b, p)
+                g = jnp.maximum(lo_b - (cp + h), (cp - h) - hi_b)
+                sep = g if sep is None else jnp.maximum(sep, g)
+            for a in range(4):
+                axx = AX[2 * a:2 * a + 1, :]                 # (1, MT)
+                axy = AX[2 * a + 1:2 * a + 2, :]
+                cp = cx * axx + cy * axy                     # (W, MT)
+                sp = sx * axx + sy * axy
+                fp = fx * axx + fy * axy
+                r = _HX * jnp.abs(sp) + _HY * jnp.abs(fp)
+                g = jnp.maximum(
+                    LH[a:a + 1, :] - (cp + r), (cp - r) - LH[4 + a:4 + a + 1, :]
+                )
+                sep = jnp.maximum(sep, g)
+            wheel_ov = (sep < _MARGIN).astype(jnp.float32)   # (W, MT)
+
+            won_out[e] = jnp.max(wheel_ov, axis=1, keepdims=True)  # (W, 1)
+
+            # car_tile: OR over each car's 4 wheels (wheel row = n*4 + k).
+            car_tile = jnp.maximum(
+                jnp.maximum(wheel_ov[0::4], wheel_ov[1::4]),
+                jnp.maximum(wheel_ov[2::4], wheel_ov[3::4]),
+            )                                                # (N, MT)
+
+            # --- hull-center point-in-quad (pre pose) for "touched" ------
+            def point_in(px, py, T):                         # (N,1),(N,1),(8,MT)
+                pos = neg = None
+                for v in range(4):
+                    ax_ = T[2 * v:2 * v + 1, :]
+                    ay_ = T[2 * v + 1:2 * v + 2, :]
+                    w = (v + 1) % 4
+                    bx_ = T[2 * w:2 * w + 1, :]
+                    by_ = T[2 * w + 1:2 * w + 2, :]
+                    cr = (bx_ - ax_) * (py - ay_) - (by_ - ay_) * (px - ax_)
+                    p, q = cr > 0, cr < 0
+                    pos = p if pos is None else pos & p
+                    neg = q if neg is None else neg & q
+                return (pos | neg).astype(jnp.float32)       # (N, MT)
+
+            hull_in = point_in(HO[:, 0:1], HO[:, 1:2], Q)
+            touched = jnp.max(
+                jnp.maximum(car_tile, hull_in), axis=0, keepdims=True
+            )                                                # (1, MT)
+            tt_out[e] = jnp.maximum(TT, touched)
+
+            # --- visit rewards (env._visit_rewards) ----------------------
+            valid = MS[3:4, :]                               # (1, MT)
+            new = car_tile * (1.0 - VIS) * valid             # (N, MT)
+            prev_count = jnp.sum(VIS, axis=0, keepdims=True)
+            # Exclusive cumsum over cars (car-id tie-break), N small.
+            rank = jnp.zeros_like(new)
+            acc = jnp.zeros_like(prev_count)
+            rows = []
+            for n in range(N):
+                rows.append(acc)
+                acc = acc + new[n:n + 1, :]
+            rank = jnp.concatenate(rows, axis=0) if N > 1 else rank
+            past = prev_count + rank
+            factor = 1.0 - past / float(N)
+            n_tiles = HO[0:1, 4:5]                           # (1, 1)
+            tile_bonus = 1000.0 / n_tiles
+            bonus = jnp.sum(new * factor, axis=1, keepdims=True) * tile_bonus
+            vis_out[e] = jnp.maximum(VIS, new)
+            cnt = jnp.sum(new, axis=1, keepdims=True)        # (N, 1)
+
+            # --- post-step analysis on the post-solve pose ---------------
+            ox, oy = HO[:, 2:3], HO[:, 3:4]                  # (N, 1)
+            X, Y = MS[0:1, :], MS[1:2, :]
+            beta = MS[2:3, :]
+            d2 = jnp.square(ox - X) + jnp.square(oy - Y)     # (N, MT)
+            d2 = jnp.where(valid > 0, d2, _BIG)
+            m = jnp.min(d2, axis=1, keepdims=True)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (N, mt), 1)
+            idx = jnp.min(
+                jnp.where(d2 == m, iota, mt), axis=1, keepdims=True
+            )                                                # first argmin
+            nbeta = jnp.sum(
+                jnp.where(iota == idx, beta, 0.0), axis=1, keepdims=True
+            )
+            road_in = point_in(ox, oy, Q)
+            curb_in = point_in(ox, oy, curb_ref[e])
+            on_grass = 1.0 - jnp.max(
+                jnp.maximum(road_in, curb_in), axis=1, keepdims=True
+            )
+
+            car_out[e] = jnp.concatenate(
+                [bonus, cnt, nbeta, on_grass,
+                 jnp.zeros((N, 4), jnp.float32)], axis=1
+            )                                                # (N, 8)
+            return 0
+
+        jax.lax.fori_loop(0, eb, body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_agents", "interpret")
+)
+def track_pass_batched(
+    quad_T,        # (E, 4, 2, MT) f32
+    quad_ax_T,     # (E, 4, 2, MT) f32
+    quad_lo,       # (E, 4, MT) f32
+    quad_hi,       # (E, 4, MT) f32
+    curb_quad_T,   # (E, 4, 2, MT) f32
+    xy,            # (E, MT, 2) f32
+    beta,          # (E, MT) f32
+    valid,         # (E, MT) bool
+    n_tiles,       # (E,) int32
+    wheel_c,       # (E, N, 4, 2) f32 — PRE-solve pose
+    forw,          # (E, N, 4, 2)
+    side,          # (E, N, 4, 2)
+    pre_origin,    # (E, N, 2) — PRE-solve hull origin (touched flattening)
+    post_origin,   # (E, N, 2) — POST-solve hull origin (nearest/grass)
+    visited,       # (E, N, MT) bool
+    tile_touched,  # (E, MT) bool
+    num_agents: int,
+    interpret: bool = False,
+):
+    """Returns (wheel_on_road (E,N,4) bool, visited' (E,N,MT) bool,
+    bonus (E,N) f32, count_delta (E,N) int32, tile_touched' (E,MT) bool,
+    nearest_beta (E,N) f32, on_grass (E,N) bool)."""
+    E, N = wheel_c.shape[0], num_agents
+    MT = beta.shape[1]
+    W = 4 * N
+    f32 = jnp.float32
+
+    quad8 = quad_T.reshape(E, 8, MT)
+    ax8 = quad_ax_T.reshape(E, 8, MT)
+    lohi = jnp.concatenate([quad_lo, quad_hi], axis=1)          # (E, 8, MT)
+    curb8 = curb_quad_T.reshape(E, 8, MT)
+    misc = jnp.concatenate(
+        [jnp.swapaxes(xy, 1, 2), beta[:, None, :],
+         valid.astype(f32)[:, None, :]], axis=1
+    )                                                           # (E, 4, MT)
+    ws = jnp.concatenate(
+        [wheel_c.reshape(E, W, 2), forw.reshape(E, W, 2),
+         side.reshape(E, W, 2), jnp.zeros((E, W, 2), f32)], axis=2
+    )                                                           # (E, W, 8)
+    ho = jnp.concatenate(
+        [pre_origin, post_origin,
+         jnp.broadcast_to(
+             n_tiles.astype(f32)[:, None, None], (E, N, 1)
+         ),
+         jnp.zeros((E, N, 3), f32)], axis=2
+    )                                                           # (E, N, 8)
+    vis_f = visited.astype(f32)
+    tt_f = tile_touched.astype(f32)[:, None, :]                 # (E, 1, MT)
+
+    eb = _eb_for(E)
+    grid = E // eb
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+
+    def bspec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (eb,) + shape,
+            (lambda g, _nd=nd: (g,) + (0,) * _nd),
+            memory_space=mem,
+        )
+
+    won_o, car_o, vis_o, tt_o = pl.pallas_call(
+        _make_kernel(N, eb, MT),
+        grid=(grid,),
+        in_specs=[
+            bspec(8, MT), bspec(8, MT), bspec(8, MT), bspec(8, MT),
+            bspec(4, MT), bspec(W, 8), bspec(N, 8), bspec(N, MT),
+            bspec(1, MT),
+        ],
+        out_specs=[bspec(W, 1), bspec(N, 8), bspec(N, MT), bspec(1, MT)],
+        out_shape=[
+            jax.ShapeDtypeStruct((E, W, 1), f32),
+            jax.ShapeDtypeStruct((E, N, 8), f32),
+            jax.ShapeDtypeStruct((E, N, MT), f32),
+            jax.ShapeDtypeStruct((E, 1, MT), f32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(quad8, ax8, lohi, curb8, misc, ws, ho, vis_f, tt_f)
+
+    return (
+        won_o[:, :, 0].reshape(E, N, 4) > 0.0,
+        vis_o > 0.0,
+        car_o[:, :, 0],
+        car_o[:, :, 1].astype(jnp.int32),
+        tt_o[:, 0, :] > 0.0,
+        car_o[:, :, 2],
+        car_o[:, :, 3] > 0.0,
+    )
