@@ -31,7 +31,7 @@ def make_eval_fn(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, num_episodes: int):
     stepped to the 1000-step TimeLimit (done envs are frozen out of the
     accumulators). Deterministic actions (policy mean). Jit once, reuse.
     """
-    net = ActorCritic(obs_type=ppo_cfg.obs_type)
+    net = ActorCritic(obs_type=ppo_cfg.obs_type, width=ppo_cfg.width)
     env_step = jax.vmap(partial(tenv.step, env_cfg))
     E, N = num_episodes, env_cfg.num_agents
     R = ppo_cfg.action_repeat

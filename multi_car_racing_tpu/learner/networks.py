@@ -51,10 +51,12 @@ class PixelTorso(nn.Module):
 class ActorCritic(nn.Module):
     obs_type: str = "state"      # 'state' | 'pixels'
     action_dim: int = 3
+    width: int = 256             # state-torso width
 
     @nn.compact
     def __call__(self, obs):
-        torso = StateTorso() if self.obs_type == "state" else PixelTorso()
+        torso = (StateTorso(self.width) if self.obs_type == "state"
+                 else PixelTorso())
         h = torso(obs)
         mean = nn.Dense(self.action_dim,
                         kernel_init=nn.initializers.orthogonal(0.01))(h)

@@ -49,6 +49,13 @@ class PPOConfig:
     normalize_obs: bool = False   # running mean/var over state features
     anneal_lr: bool = False       # linear lr -> 0 over total_updates
     total_updates: int = 1000
+    width: int = 256              # state-torso width
+    # Training-only extra per-step time cost (pace shaping): the env's own
+    # -0.1/step is what the published 900 bar scores against (mcr:436);
+    # adding cost ONLY to the learner's reward signal pushes PPO toward
+    # faster laps while evaluation (learner/evaluate.py) stays on the real
+    # env return.
+    train_step_cost: float = 0.0
 
 
 @pytree_dataclass
@@ -95,7 +102,7 @@ def _observe(env_cfg, ppo_cfg, env_state):
 
 
 def init_train_state(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, key) -> TrainState:
-    net = ActorCritic(obs_type=ppo_cfg.obs_type)
+    net = ActorCritic(obs_type=ppo_cfg.obs_type, width=ppo_cfg.width)
     k_pool, k_env, k_par, key = jax.random.split(key, 4)
     pool = tenv.make_track_pool_checked(env_cfg, k_pool, ppo_cfg.pool_size)
     env_keys = jax.random.split(k_env, ppo_cfg.num_envs)
@@ -140,7 +147,7 @@ def _logp_gauss(mean, log_std, a):
 def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
     """Returns train_step(ts) -> (ts, metrics); jit (and shard) at call site."""
     assert ppo_cfg.action_repeat >= 1, "action_repeat must be >= 1"
-    net = ActorCritic(obs_type=ppo_cfg.obs_type)
+    net = ActorCritic(obs_type=ppo_cfg.obs_type, width=ppo_cfg.width)
     tx = optimizer(ppo_cfg)
     env_step = jax.vmap(partial(tenv.step, env_cfg))
     T, E, N = ppo_cfg.rollout_len, ppo_cfg.num_envs, env_cfg.num_agents
@@ -178,9 +185,10 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             alive = ~(env_state.done | (env_state.steps >= max_steps))
             obs = _observe(env_cfg, ppo_cfg, env_state)          # (E, N, ...)
             a, a_env, logp, value = policy(ts.params, norm(obs), k_act)
+            shape_cost = ppo_cfg.train_step_cost
             if R == 1:
                 env_state, r, done = env_step(env_state, a_env)
-                r = r * alive.astype(jnp.float32)[:, None]
+                r = (r - shape_cost) * alive.astype(jnp.float32)[:, None]
                 fin = done | (env_state.steps >= max_steps)
                 ret_snap = env_state.reward                       # (E, N)
             else:
@@ -194,7 +202,7 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                     es, racc, seen_fin, snap = carry
                     es, r, done = env_step(es, a_env)
                     live = 1.0 - seen_fin.astype(jnp.float32)
-                    racc = racc + r * live[:, None]
+                    racc = racc + (r - shape_cost) * live[:, None]
                     snap = jnp.where(seen_fin[:, None], snap, es.reward)
                     seen_fin = seen_fin | done | (es.steps >= max_steps)
                     return (es, racc, seen_fin, snap), None

@@ -37,6 +37,12 @@ def main():
                     help="hold each policy action this many env steps")
     ap.add_argument("--normalize-obs", action="store_true",
                     help="running mean/var normalization of state obs")
+    ap.add_argument("--width", type=int, default=256,
+                    help="state-torso MLP width")
+    ap.add_argument("--train-step-cost", type=float, default=0.0,
+                    help="extra per-step time cost added ONLY to the "
+                         "learner's reward signal (pace shaping; eval uses "
+                         "the real env return)")
     ap.add_argument("--anneal-lr", action="store_true",
                     help="linear lr decay to 0 over --updates")
     ap.add_argument("--seed", type=int, default=0)
@@ -94,6 +100,7 @@ def main():
         gamma=args.gamma, ent_coef=args.ent_coef,
         action_repeat=args.action_repeat, normalize_obs=args.normalize_obs,
         anneal_lr=args.anneal_lr, total_updates=args.updates,
+        width=args.width, train_step_cost=args.train_step_cost,
     )
 
     mesh = pmesh.make_mesh()
