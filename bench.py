@@ -24,8 +24,15 @@ import numpy as np
 
 
 def main():
+    # Persistent compilation cache: host_reset + the fused kernels are ~300
+    # XLA programs; cold-compiling them every bench invocation costs minutes.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from multi_car_racing_tpu import config as C, env as tenv, seeding
 
@@ -37,13 +44,27 @@ def main():
 
     # Host-generate a small set of distinct tracks and tile the batch from
     # them (physics cost is track-independent; this keeps bench startup
-    # seconds, not minutes).
-    states = []
+    # seconds, not minutes). The spawn tick runs as ONE jitted vmapped
+    # reset_from_parts — eager per-seed host_reset dispatches ~300 XLA
+    # programs each (minutes over the axon tunnel).
+    from multi_car_racing_tpu import seeding as mseed
+    from multi_car_racing_tpu.track import host as track_host
+
+    tracks, orders, dirs = [], [], []
     for seed in range(N_TRACKS):
-        s, _ = tenv.host_reset(cfg, seed=seed, global_stream=seeding.GlobalStream(seed))
-        states.append(s)
-    batched = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *states
+        np_rng, _ = mseed.np_random(seed)
+        gs = seeding.GlobalStream(seed)
+        direction = gs.direction() if cfg.use_random_direction else cfg.direction
+        orders.append(np.asarray(gs.car_order(cfg.num_agents)))
+        pts, border, _ = track_host.generate_track_fast(np_rng)
+        tracks.append(tenv.pack_track(pts, border, max_tiles=cfg.max_tiles))
+        dirs.append(direction == "CW")
+    stack = lambda xs: jax.tree_util.tree_map(lambda *l: jnp.stack(l), *xs)
+    reset_batch = jax.jit(jax.vmap(partial(tenv.reset_from_parts, cfg)))
+    batched = reset_batch(
+        stack(tracks),
+        jnp.asarray(np.stack(orders), jnp.int32),
+        jnp.asarray(dirs),
     )
     reps = E // N_TRACKS
     batched = jax.tree_util.tree_map(

@@ -26,6 +26,7 @@ divergence, exercised mainly for the two spawn tiles.
 from __future__ import annotations
 
 from functools import lru_cache, partial
+import os
 
 import jax
 import jax.numpy as jnp
@@ -213,13 +214,15 @@ def _make_track_pass(num_agents: int, solver: str, exact_hull_touch: bool):
             am = None
         mode = solver
         if mode == "auto":
-            on_tpu = jax.default_backend() == "tpu"
-            mode = (
-                "pallas"
-                if on_tpu and (jax.device_count() == 1 or am is not None)
-                and not exact_hull_touch
-                else "xla"
-            )
+            # Measured (TPU v5e, 4096x2 envs, scanned rollout): the v1 fused
+            # track kernel (fori_loop over 32 envs/program, (8, MT) ops) is
+            # instruction-issue bound and LOSES to XLA's fused sweeps —
+            # 6.42 vs 5.60 ms/step — so auto keeps XLA until the
+            # envs-on-sublanes kernel wins. Override with MCR_TRACK_PASS.
+            mode = "xla"
+        # Trace-time dev override for A/B timing of just this stage
+        # (the physics mega-kernel keeps its own mode).
+        mode = os.environ.get("MCR_TRACK_PASS", mode)
         if mode == "pallas" and not exact_hull_touch:
             interpret = jax.default_backend() != "tpu"
 

@@ -102,9 +102,14 @@ def _make_kernel(num_agents: int, eb: int, mt: int):
             won_out[e] = jnp.max(wheel_ov, axis=1, keepdims=True)  # (W, 1)
 
             # car_tile: OR over each car's 4 wheels (wheel row = n*4 + k).
-            car_tile = jnp.maximum(
-                jnp.maximum(wheel_ov[0::4], wheel_ov[1::4]),
-                jnp.maximum(wheel_ov[2::4], wheel_ov[3::4]),
+            # Static contiguous slices only — a strided wheel_ov[0::4] lowers
+            # to a Mosaic gather that the TPU backend rejects.
+            car_rows = [
+                jnp.max(wheel_ov[4 * n:4 * n + 4, :], axis=0, keepdims=True)
+                for n in range(N)
+            ]
+            car_tile = (
+                jnp.concatenate(car_rows, axis=0) if N > 1 else car_rows[0]
             )                                                # (N, MT)
 
             # --- hull-center point-in-quad (pre pose) for "touched" ------

@@ -12,10 +12,16 @@ over ICI/DCN via GSPMD (parallel/mesh.py).
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 
 def main():
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
     ap = argparse.ArgumentParser()
     ap.add_argument("--updates", type=int, default=20)
     ap.add_argument("--num-envs", type=int, default=256)
