@@ -56,6 +56,13 @@ class PPOConfig:
     # faster laps while evaluation (learner/evaluate.py) stays on the real
     # env return.
     train_step_cost: float = 0.0
+    # Training-only on-grass cost: the dominant failure mode at the 900 bar
+    # is corner-cutting — the car clips a chicane over grass, skips a few
+    # tiles, and can never complete the tile set (all-tiles done,
+    # mcr:498-499). The env's driving_on_grass flag (mcr:469-472, unused
+    # for reward by the reference) priced into the learner's signal keeps
+    # the racing line on asphalt; evaluation stays on the real env return.
+    train_grass_cost: float = 0.0
 
 
 @pytree_dataclass
@@ -186,9 +193,17 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             obs = _observe(env_cfg, ppo_cfg, env_state)          # (E, N, ...)
             a, a_env, logp, value = policy(ts.params, norm(obs), k_act)
             shape_cost = ppo_cfg.train_step_cost
+            grass_cost = ppo_cfg.train_grass_cost
+
+            def shaped(r, es):
+                r = r - shape_cost
+                if grass_cost:
+                    r = r - grass_cost * es.driving_on_grass.astype(r.dtype)
+                return r
+
             if R == 1:
                 env_state, r, done = env_step(env_state, a_env)
-                r = (r - shape_cost) * alive.astype(jnp.float32)[:, None]
+                r = shaped(r, env_state) * alive.astype(jnp.float32)[:, None]
                 fin = done | (env_state.steps >= max_steps)
                 ret_snap = env_state.reward                       # (E, N)
             else:
@@ -202,7 +217,7 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                     es, racc, seen_fin, snap = carry
                     es, r, done = env_step(es, a_env)
                     live = 1.0 - seen_fin.astype(jnp.float32)
-                    racc = racc + (r - shape_cost) * live[:, None]
+                    racc = racc + shaped(r, es) * live[:, None]
                     snap = jnp.where(seen_fin[:, None], snap, es.reward)
                     seen_fin = seen_fin | done | (es.steps >= max_steps)
                     return (es, racc, seen_fin, snap), None

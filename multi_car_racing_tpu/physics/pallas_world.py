@@ -146,6 +146,23 @@ _ARM = (shapes.WHEEL_POS - shapes.HULL_LOCAL_CENTER[None, :])   # (4, 2)
 _ARM_X = [float(_ARM[k, 0]) for k in range(4)]
 _ARM_Y = [float(_ARM[k, 1]) for k in range(4)]
 
+# Broadphase AABB constants (near_flags): local-frame AABB of the four hull
+# fixtures relative to the hull COM (mid + half-extents), and the wheel's
+# symmetric box. Disjoint world AABBs fattened by the polygon skin guarantee
+# b2CollidePolygons culls the pair (sep > totalRadius).
+_HULL_FIXT = shapes.CAR_FIXTURE_BODY == 0
+_hv = (shapes.CAR_FIXTURE_VERTS[_HULL_FIXT].reshape(-1, 2)
+       - shapes.HULL_LOCAL_CENTER[None, :])
+_HULL_AABB_MID = tuple(
+    float(v) for v in (_hv.min(0) + _hv.max(0)) / 2.0
+)
+_HULL_AABB_HALF = tuple(
+    float(v) for v in (_hv.max(0) - _hv.min(0)) / 2.0
+)
+_wv = shapes.CAR_FIXTURE_VERTS[~_HULL_FIXT].reshape(-1, 2)
+_WHEEL_AABB_HALF = tuple(float(v) for v in np.abs(_wv).max(0))
+_BP_SLACK = _TOTAL_RADIUS + 1e-3
+
 
 def _tire_core(ha, wa_, wvx, wvy, gas, brake, steer, spin, phase, fuel,
                onroad, dt):
@@ -427,7 +444,7 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
         wvy = [vyf[N + k * N:N + (k + 1) * N] for k in range(4)]
         ww = [wf[N + k * N:N + (k + 1) * N] for k in range(4)]
     else:
-        z = jnp.zeros_like(hvx)
+        z = hvx * 0.0
         ni = ti = (z, z)
 
     # ---- joint warm start.
@@ -802,8 +819,58 @@ def _make_solve_kernel(num_cars, velocity_iters, position_iters,
     return kernel
 
 
+def near_flags(cars, num_cars: int) -> jnp.ndarray:
+    """Per-env broadphase (XLA): could ANY car pair produce a contact?
+
+    AABB test per colliding fixture-body combination (hull-hull,
+    hull-wheel; wheel-wheel is masked out by Box2D category bits), fattened
+    by the polygon skin: if the fattened AABBs of a pair are disjoint,
+    b2CollidePolygons culls it (sep > totalRadius) and every contact
+    sub-pass is an algebraic no-op for that pair. Mirrors Box2D's
+    AABB-tree broadphase semantics (SURVEY §2.10).
+
+    cars: batched CarState (E, N, ...). Returns (E,) bool."""
+    n = num_cars
+    s, c = jnp.sin(cars.hull_a), jnp.cos(cars.hull_a)          # (E, N)
+    ac, as_ = jnp.abs(c), jnp.abs(s)
+    # Hull: world AABB of the rotated local AABB (rel. COM).
+    mid, half = _HULL_AABB_MID, _HULL_AABB_HALF
+    hull_cx = cars.hull_c[..., 0] + c * mid[0] - s * mid[1]
+    hull_cy = cars.hull_c[..., 1] + s * mid[0] + c * mid[1]
+    hull_hx = ac * half[0] + as_ * half[1]
+    hull_hy = as_ * half[0] + ac * half[1]
+    # Wheels: symmetric local box about the wheel center.
+    ws, wc = jnp.sin(cars.wheel_a), jnp.cos(cars.wheel_a)      # (E, N, 4)
+    wx = cars.wheel_c[..., 0]
+    wy = cars.wheel_c[..., 1]
+    whx = jnp.abs(wc) * _WHEEL_AABB_HALF[0] + jnp.abs(ws) * _WHEEL_AABB_HALF[1]
+    why = jnp.abs(ws) * _WHEEL_AABB_HALF[0] + jnp.abs(wc) * _WHEEL_AABB_HALF[1]
+
+    def overlap(ax, ay, ahx, ahy, bx, by, bhx, bhy):
+        return (jnp.abs(ax - bx) <= ahx + bhx + _BP_SLACK) & (
+            jnp.abs(ay - by) <= ahy + bhy + _BP_SLACK
+        )
+
+    near = None
+    for (a, b) in collide.car_pairs(n):
+        hits = [overlap(hull_cx[:, a], hull_cy[:, a], hull_hx[:, a],
+                        hull_hy[:, a], hull_cx[:, b], hull_cy[:, b],
+                        hull_hx[:, b], hull_hy[:, b])]
+        for k in range(4):
+            hits.append(overlap(hull_cx[:, a], hull_cy[:, a], hull_hx[:, a],
+                                hull_hy[:, a], wx[:, b, k], wy[:, b, k],
+                                whx[:, b, k], why[:, b, k]))
+            hits.append(overlap(wx[:, a, k], wy[:, a, k], whx[:, a, k],
+                                why[:, a, k], hull_cx[:, b], hull_cy[:, b],
+                                hull_hx[:, b], hull_hy[:, b]))
+        for h in hits:
+            near = h if near is None else near | h
+    return near
+
+
 def _make_mega_kernel(num_cars, velocity_iters, position_iters,
-                      contact_velocity_iters, contact_position_iters, dt):
+                      contact_velocity_iters, contact_position_iters, dt,
+                      force_no_contacts=False):
     """tire + Collide + solve in one program (the production path)."""
     N = num_cars
     has_contacts = N > 1
@@ -838,46 +905,63 @@ def _make_mega_kernel(num_cars, velocity_iters, position_iters,
             tire_out[1, k] = phase[k]
             tire_out[2, k] = skid[k]
 
-        # --- 2. Collide pass on pre-solve poses.
-        if has_contacts:
-            tb = dict(
-                lvx=lvx_ref[:], lvy=lvy_ref[:], lnx=lnx_ref[:], lny=lny_ref[:],
-                f2b=f2b_ref[:], lcx=lcx_ref[:], lcy=lcy_ref[:],
-                fixa=fixa_ref[:], fixb=fixb_ref[:],
-            )
-            prev_ids = pids_ref[0]
-            prev_ni = [pimp_ref[0], pimp_ref[1]]
-            prev_ti = [pimp_ref[2], pimp_ref[3]]
-            (nx, ny, pkx, pky, sep, ok, ni, ti, cid) = _collide_core(
-                N, tb, hcx, hcy, ha, wcx, wcy, wa_, prev_ids, prev_ni, prev_ti
-            )
-            ids_out[0] = cid
-            man = (nx, ny, pkx, pky, sep, ok, ni, ti)
-            tbl = (ws_ref[:], wdt_ref[:], wba_ref[:],
-                   invm_ref[:], invi_ref[:])
-        else:
-            man = tbl = None
-            ids_out[0] = jnp.full_like(ids_out[0], -1)
-
-        # --- 3. integrate tire forces into wheel velocities.
-        for k in range(4):
-            wvx[k] = wvx[k] + dt * _MB * fx[k]
-            wvy[k] = wvy[k] + dt * _MB * fy[k]
+        # --- 2. integrate tire forces into wheel velocities (pre-solve
+        # poses are what the Collide pass reads; forces only touch
+        # velocities, so this commutes with it).
+        wvx = [wvx[k] + dt * _MB * fx[k] for k in range(4)]
+        wvy = [wvy[k] + dt * _MB * fy[k] for k in range(4)]
 
         ls_prev = [ls_ref[k] for k in range(4)]
         ls, jiz = _joint_init(ha, wa_, jiz, ls_prev)
         for k in range(4):
             ls_out[k] = ls[k]
 
-        # --- 4. solve.
         body = (hvx, hvy, hw, hcx, hcy, ha, wvx, wvy, ww, wcx, wcy, wa_)
-        body, jix, jiy, jiz, mimp, ni, ti = _solve_core(
-            N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
-            body, (jix, jiy, jiz, mimp, mspeed), ls, man, tbl,
-        )
-        _write_common(hull_out, wheel_out, jnt_out, body, jix, jiy, jiz, mimp)
-        cimp_out[0], cimp_out[1] = ni[0], ni[1]
-        cimp_out[2], cimp_out[3] = ti[0], ti[1]
+        jnt = (jix, jiy, jiz, mimp, mspeed)
+
+        def commit(body2, jix, jiy, jiz, mimp, ni, ti, cid):
+            _write_common(hull_out, wheel_out, jnt_out, body2,
+                          list(jix), list(jiy), list(jiz), list(mimp))
+            cimp_out[0], cimp_out[1] = ni[0], ni[1]
+            cimp_out[2], cimp_out[3] = ti[0], ti[1]
+            ids_out[0] = cid
+
+        def joints_only():
+            # Collide would cull every pair and each contact sub-pass is an
+            # algebraic no-op — run the joints-only island (same total
+            # iteration counts).
+            b2, jx, jy, jz, mi, _, _ = _solve_core(
+                N, velocity_iters, position_iters, 0, 0, dt,
+                body, jnt, ls, None, None,
+            )
+            z = pimp_ref[0] * 0.0
+            commit(b2, jx, jy, jz, mi, [z, z], [z, z], pids_ref[0] * 0 - 1)
+
+        # --- 3/4. Collide pass + solve.
+        if has_contacts and not force_no_contacts:
+            tb = dict(
+                lvx=lvx_ref[:], lvy=lvy_ref[:], lnx=lnx_ref[:], lny=lny_ref[:],
+                f2b=f2b_ref[:], lcx=lcx_ref[:], lcy=lcy_ref[:],
+                fixa=fixa_ref[:], fixb=fixb_ref[:],
+            )
+            tbl = (ws_ref[:], wdt_ref[:], wba_ref[:],
+                   invm_ref[:], invi_ref[:])
+            prev_ids = pids_ref[0]
+            prev_ni = [pimp_ref[0], pimp_ref[1]]
+            prev_ti = [pimp_ref[2], pimp_ref[3]]
+
+            (nx, ny, pkx, pky, sep, ok, ni, ti, cid) = _collide_core(
+                N, tb, hcx, hcy, ha, wcx, wcy, wa_,
+                prev_ids, prev_ni, prev_ti,
+            )
+            man = (nx, ny, pkx, pky, sep, ok, ni, ti)
+            b2, jx, jy, jz, mi, ni, ti = _solve_core(
+                N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
+                body, jnt, ls, man, tbl,
+            )
+            commit(b2, jx, jy, jz, mi, ni, ti, cid)
+        else:
+            joints_only()
 
     return kernel
 
@@ -1075,6 +1159,8 @@ def step_physics_batched(
     contact_position_iters: int = C.CONTACT_POSITION_ITERS,
     dt: float = C.DT,
     interpret: bool = False,
+    force_no_contacts: bool = False,
+    partition_cap: int = 0,
 ):
     """Fused tire + Collide + solve (one program per env block).
 
@@ -1082,9 +1168,69 @@ def step_physics_batched(
     ``collide.make_bundle`` -> ``world.world_step`` -> impulse extraction,
     up to float-accumulation noise.
 
+    ``force_no_contacts``: compile the joints-only island (used as the
+    far-envs kernel of the contact partition; exact for envs whose pairs
+    the broadphase culls).
+
+    ``partition_cap`` > 0 enables the contact partition: an XLA broadphase
+    (near_flags) splits the batch; up to ``cap`` broadphase-positive envs
+    are gathered into a compact sub-batch that runs the full
+    collide+contact kernel, everyone runs the (much cheaper) joints-only
+    kernel, and results scatter back. If more than ``cap`` envs are near,
+    a lax.cond falls back to the full kernel on the whole batch — results
+    are exact either way (Box2D likewise only dispatches
+    broadphase-surviving pairs to its narrow phase/solver).
+
     Returns (new CarState, skid (E, N, 4) bool, new collide.ContactState).
     """
     E, N = cars.hull_c.shape[0], num_cars
+    if partition_cap and N > 1 and not force_no_contacts and E > partition_cap:
+        kw = dict(
+            velocity_iters=velocity_iters, position_iters=position_iters,
+            contact_velocity_iters=contact_velocity_iters,
+            contact_position_iters=contact_position_iters,
+            dt=dt, interpret=interpret,
+        )
+
+        near = near_flags(cars, N)
+
+        def fast(args):
+            cars, onroad, cs = args
+            order = jnp.argsort(jnp.logical_not(near), stable=True)
+            sub = order[:partition_cap]
+
+            def take(x):
+                return x[sub]
+
+            sub_cars, sub_skid, sub_cs = step_physics_batched(
+                jax.tree_util.tree_map(take, cars), take(onroad),
+                jax.tree_util.tree_map(take, cs), N, **kw,
+            )
+            all_cars, all_skid, all_cs = step_physics_batched(
+                cars, onroad, cs, N, force_no_contacts=True, **kw,
+            )
+            # Unconditional scatter is exact: a broadphase-negative env in
+            # the (padded) sub-batch produces bit-equal results to the
+            # joints-only kernel (all its contact ops add exact zeros).
+
+            def put(a, b):
+                return a.at[sub].set(b)
+
+            return (
+                jax.tree_util.tree_map(put, all_cars, sub_cars),
+                put(all_skid, sub_skid),
+                jax.tree_util.tree_map(put, all_cs, sub_cs),
+            )
+
+        def slow(args):
+            cars, onroad, cs = args
+            return step_physics_batched(cars, onroad, cs, N, **kw)
+
+        return jax.lax.cond(
+            jnp.sum(near) <= partition_cap, fast, slow,
+            (cars, wheel_on_road, contact_state),
+        )
+
     f32 = jnp.float32
     hull_in, wheel_in = _pack_state(cars)
     tire_in = jnp.stack([
@@ -1124,6 +1270,7 @@ def step_physics_batched(
     kern = _make_mega_kernel(
         N, velocity_iters, position_iters,
         contact_velocity_iters, contact_position_iters, dt,
+        force_no_contacts=force_no_contacts,
     )
     grid, eb = _grid_eb(E)
     mem = pltpu.VMEM if not interpret else pltpu.ANY

@@ -49,6 +49,9 @@ def main():
                     help="extra per-step time cost added ONLY to the "
                          "learner's reward signal (pace shaping; eval uses "
                          "the real env return)")
+    ap.add_argument("--train-grass-cost", type=float, default=0.0,
+                    help="training-only per-step cost while on grass "
+                         "(anti-corner-cutting; eval uses the real return)")
     ap.add_argument("--anneal-lr", action="store_true",
                     help="linear lr decay to 0 over --updates")
     ap.add_argument("--seed", type=int, default=0)
@@ -107,6 +110,7 @@ def main():
         action_repeat=args.action_repeat, normalize_obs=args.normalize_obs,
         anneal_lr=args.anneal_lr, total_updates=args.updates,
         width=args.width, train_step_cost=args.train_step_cost,
+        train_grass_cost=args.train_grass_cost,
     )
 
     mesh = pmesh.make_mesh()

@@ -174,3 +174,78 @@ def test_solver_dispatch_reward_parity():
             acc.append(np.asarray(r))
         rewards[solver] = np.stack(acc)
     np.testing.assert_allclose(rewards["xla"], rewards["pallas"], atol=1e-5)
+
+
+def _near_host(cars, n):
+    """Host reference for the AABB broadphase (loose check only)."""
+    import numpy as np
+    return np.asarray(pallas_world.near_flags(cars, n))
+
+
+def test_partition_far_apart_exact():
+    """Spawn-grid states (cars ~6 m apart, AABBs disjoint): the partition
+    fast path (joints-only + padded sub-batch scatter) must equal the full
+    kernel bit-for-bit."""
+    st = _batched_state(2, 4, steps=3, gas=0.4, steer=0.0)
+    assert not _near_host(st.cars, 2).any(), "setup: AABBs overlap at spawn"
+    full = pallas_world.step_physics_batched(
+        st.cars, st.wheel_on_road, st.contacts, 2,
+        velocity_iters=VI, position_iters=PI, interpret=True)
+    part = pallas_world.step_physics_batched(
+        st.cars, st.wheel_on_road, st.contacts, 2,
+        velocity_iters=VI, position_iters=PI, interpret=True,
+        partition_cap=2)
+    # Tight-but-not-bitwise: CPU interpret evaluates transcendentals with
+    # SIMD/tail-lane ULP wobble across array widths (on TPU the paths are
+    # lane-uniform); logic equality is what is being pinned here.
+    for f in FIELDS + ("spin", "phase", "fuel_spent"):
+        _assert_close(f, getattr(full[0], f), getattr(part[0], f), tol=1e-6)
+    assert bool((full[1] == part[1]).all())
+    assert bool((full[2].ids == part[2].ids).all())
+    _assert_close("normal_imp", full[2].normal_imp, part[2].normal_imp, tol=1e-6)
+    _assert_close("tangent_imp", full[2].tangent_imp, part[2].tangent_imp, tol=1e-6)
+
+
+def _touching_state(N=4):
+    cfg = C.EnvConfig(num_agents=N, velocity_iters=VI, position_iters=PI,
+                      solver="xla")
+    state, _ = tenv.host_reset(cfg, seed=11, global_stream=seeding.GlobalStream(5))
+    gs = seeding.GlobalStream(5)
+    gs.direction()
+    order = list(gs.car_order(N))
+    acts = np.zeros((N, 3), np.float32)
+    acts[order.index(2)] = [0.0, 1.0, 0.0]
+    step = jax.jit(partial(tenv.step, cfg))
+    for _ in range(110):
+        state, _, _ = step(state, jnp.asarray(acts))
+    return state
+
+
+def test_partition_mixed_and_overflow_exact():
+    """One touching env + far envs: fast path (cap covers the near envs)
+    and the cap-overflow lax.cond fallback must both equal the full
+    kernel."""
+    N = 4
+    touch = _touching_state(N)
+    far = _batched_state(N, 1, steps=3, gas=0.4, steer=0.0)
+    far1 = jax.tree_util.tree_map(lambda x: x[0], far)
+    st = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b, b]), touch, far1
+    )
+    near = _near_host(st.cars, N)
+    assert near[0] and not near[1:].any(), "setup: expected [near, far, far]"
+    full = pallas_world.step_physics_batched(
+        st.cars, st.wheel_on_road, st.contacts, N,
+        velocity_iters=VI, position_iters=PI, interpret=True)
+    assert float(jnp.abs(full[2].normal_imp[0]).max()) > 0.1, "no contact"
+    for cap in (1, 2):   # cap=1: near env exactly fills the sub-batch;
+        part = pallas_world.step_physics_batched(
+            st.cars, st.wheel_on_road, st.contacts, N,
+            velocity_iters=VI, position_iters=PI, interpret=True,
+            partition_cap=cap)
+        for f in FIELDS + ("spin", "phase", "fuel_spent"):
+            _assert_close(f, getattr(full[0], f), getattr(part[0], f),
+                          tol=1e-6)
+        assert bool((full[2].ids == part[2].ids).all())
+        _assert_close("normal_imp", full[2].normal_imp, part[2].normal_imp,
+                      tol=1e-6)
