@@ -223,12 +223,14 @@ def _make_track_pass(num_agents: int, solver: str, exact_hull_touch: bool):
         # Trace-time dev override for A/B timing of just this stage
         # (the physics mega-kernel keeps its own mode).
         mode = os.environ.get("MCR_TRACK_PASS", mode)
-        if mode == "pallas" and not exact_hull_touch:
+        if mode in ("pallas", "pallas2") and not exact_hull_touch:
             interpret = jax.default_backend() != "tpu"
+            fn = (track_engine.track_pass_batched_v2 if mode == "pallas2"
+                  else track_engine.track_pass_batched)
 
             def call(track, pre_cars, post_origin, visited, tile_touched):
                 forw, side = wheel_forward_side(pre_cars)
-                return track_engine.track_pass_batched(
+                return fn(
                     track.quad_T, track.quad_ax_T, track.quad_lo,
                     track.quad_hi, track.curb_quad_T, track.xy, track.beta,
                     track.valid, track.n_tiles,
@@ -328,6 +330,16 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
             )
         if mode == "pallas":
             interpret = jax.default_backend() != "tpu"
+            # Contact partition (pallas_world.step_physics_batched): cap the
+            # compact contact sub-batch at 1/16 of the (per-shard) batch,
+            # floor 128 — exact at any cap (lax.cond falls back to the full
+            # kernel when the broadphase finds more near envs). Override
+            # with MCR_PARTITION_CAP (0 disables).
+            shard_e = axis_size // (am.size if am is not None else 1)
+            cap = 0
+            if n > 1 and shard_e >= 1024:
+                cap = max(128, shard_e // 16)
+            cap = int(os.environ.get("MCR_PARTITION_CAP", cap))
 
             def kernel_call(cars, lagged_on_road, contact_state):
                 new_cars, skid, new_cs = pallas_world.step_physics_batched(
@@ -335,6 +347,7 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
                     velocity_iters=velocity_iters,
                     position_iters=position_iters,
                     interpret=interpret,
+                    partition_cap=cap,
                 )
                 if n == 1:
                     new_cs = contact_state

@@ -279,3 +279,260 @@ def track_pass_batched(
         car_o[:, :, 2],
         car_o[:, :, 3] > 0.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# v2: envs-on-sublanes kernel. The v1 kernel above serializes an env block
+# through a fori_loop of tiny (8, MT) ops and measured SLOWER than XLA's
+# fused sweeps (6.42 vs 5.60 ms/step at 4096x2 — instruction-issue bound).
+# v2 lays envs on sublanes: every op covers (eb, MT) or (eb, 4, MT), the
+# wheel/car loops are static python unrolls, and there is NO in-kernel
+# slicing except lane-dim scalar columns (middle-dim slices of VMEM blocks
+# force Mosaic relayouts; reductions over the 4-vertex axis replace them).
+# ---------------------------------------------------------------------------
+
+
+def _eb2_for(E: int) -> int:
+    import os
+    want = int(os.environ.get("MCR_TRACK_EB", "128"))
+    for eb in (want, 128, 64, 32, 16, 8, 4, 2, 1):
+        if eb <= E and E % eb == 0:
+            return eb
+    return 1
+
+
+def _make_kernel_v2(num_agents: int, mt: int):
+    N = num_agents
+    W = 4 * N
+    f32 = jnp.float32
+
+    def kernel(qx_r, qy_r, edx_r, edy_r, axx_r, axy_r, lo_r, hi_r,
+               cqx_r, cqy_r, cdx_r, cdy_r,
+               tx_r, ty_r, beta_r, valid_r, nt_r,
+               cx_r, cy_r, fx_r, fy_r, sx_r, sy_r,
+               pox_r, poy_r, qox_r, qoy_r, vis_r, tt_r,
+               won_o, bonus_o, cnt_o, nbeta_o, grass_o, vis_o, tt_o):
+        QX, QY = qx_r[...], qy_r[...]            # (eb, 4, MT)
+        EDX, EDY = edx_r[...], edy_r[...]
+        AXX, AXY = axx_r[...], axy_r[...]
+        LO, HI = lo_r[...], hi_r[...]
+        TX, TY = tx_r[...], ty_r[...]            # (eb, MT)
+        BETA, VALID = beta_r[...], valid_r[...]
+        NT = nt_r[...]                           # (eb, 1)
+        CX, CY = cx_r[...], cy_r[...]            # (eb, W)
+        FX, FY = fx_r[...], fy_r[...]
+        SX, SY = sx_r[...], sy_r[...]
+        TT = tt_r[...]                           # (eb, MT)
+
+        # wheel-center projections on the wheel's own axes, all wheels at
+        # once (lane-dim math on (eb, W)).
+        CPS = CX * SX + CY * SY
+        CPF = CX * FX + CY * FY
+
+        def col3(A, j):                          # (eb, W) -> (eb, 1, 1)
+            return A[:, j:j + 1][:, :, None]
+
+        wheel_ov = []
+        won_cols = []
+        for w in range(W):
+            sxw, syw = col3(SX, w), col3(SY, w)
+            fxw, fyw = col3(FX, w), col3(FY, w)
+            cxw, cyw = col3(CX, w), col3(CY, w)
+            # wheel box axes: min/max of tile-vertex projections.
+            ps = sxw * QX + syw * QY             # (eb, 4, MT)
+            pf = fxw * QX + fyw * QY
+            cps = CPS[:, w:w + 1]                # (eb, 1)
+            cpf = CPF[:, w:w + 1]
+            g = jnp.maximum(
+                jnp.min(ps, axis=1) - (cps + _HX),
+                (cps - _HX) - jnp.max(ps, axis=1),
+            )
+            g = jnp.maximum(g, jnp.maximum(
+                jnp.min(pf, axis=1) - (cpf + _HY),
+                (cpf - _HY) - jnp.max(pf, axis=1),
+            ))
+            # tile face axes with analytic support radius.
+            cpa = cxw * AXX + cyw * AXY
+            spa = sxw * AXX + syw * AXY
+            fpa = fxw * AXX + fyw * AXY
+            r = _HX * jnp.abs(spa) + _HY * jnp.abs(fpa)
+            ga = jnp.max(
+                jnp.maximum(LO - (cpa + r), (cpa - r) - HI), axis=1
+            )
+            sep = jnp.maximum(g, ga)
+            ov = (sep < _MARGIN).astype(f32)     # (eb, MT)
+            wheel_ov.append(ov)
+            won_cols.append(jnp.max(ov, axis=1, keepdims=True))
+        won_o[...] = jnp.concatenate(won_cols, axis=1)     # (eb, W)
+
+        def point_in(px, py, VX, VY, DX, DY):
+            # strict-interior: all edge crosses same sign.
+            px3, py3 = px[:, :, None], py[:, :, None]      # (eb, 1, 1)
+            cr = DX * (py3 - VY) - DY * (px3 - VX)         # (eb, 4, MT)
+            pos = jnp.min(cr, axis=1) > 0.0
+            neg = jnp.max(cr, axis=1) < 0.0
+            return (pos | neg).astype(f32)                 # (eb, MT)
+
+        POX, POY = pox_r[...], poy_r[...]        # (eb, N)
+        QOX, QOY = qox_r[...], qoy_r[...]
+        CQX, CQY = cqx_r[...], cqy_r[...]
+        CDX, CDY = cdx_r[...], cdy_r[...]
+
+        car_tiles = []
+        touched = TT
+        for n in range(N):
+            ct = wheel_ov[4 * n]
+            for k in range(1, 4):
+                ct = jnp.maximum(ct, wheel_ov[4 * n + k])
+            car_tiles.append(ct)
+            hull_in = point_in(POX[:, n:n + 1], POY[:, n:n + 1],
+                               QX, QY, EDX, EDY)
+            touched = jnp.maximum(touched, jnp.maximum(ct, hull_in))
+        tt_o[...] = touched
+
+        # visit rewards (env._visit_rewards semantics, car-id tie-break).
+        prev_count = vis_r[..., 0, :] * 0.0                # (eb, MT)
+        VIS = [vis_r[..., n, :] for n in range(N)]         # each (eb, MT)
+        for n in range(N):
+            prev_count = prev_count + VIS[n]
+        acc = prev_count * 0.0
+        bonus_cols, cnt_cols, vis_new = [], [], []
+        tile_bonus = 1000.0 / NT                           # (eb, 1)
+        for n in range(N):
+            new = car_tiles[n] * (1.0 - VIS[n]) * VALID
+            factor = 1.0 - (prev_count + acc) / float(N)
+            bonus_cols.append(
+                jnp.sum(new * factor, axis=1, keepdims=True) * tile_bonus
+            )
+            cnt_cols.append(jnp.sum(new, axis=1, keepdims=True))
+            vis_new.append(jnp.maximum(VIS[n], new))
+            acc = acc + new
+        bonus_o[...] = jnp.concatenate(bonus_cols, axis=1)  # (eb, N)
+        cnt_o[...] = jnp.concatenate(cnt_cols, axis=1)
+        vis_o[...] = jnp.stack(vis_new, axis=1)             # (eb, N, MT)
+
+        # post-step analysis on the post-solve pose.
+        nbeta_cols, grass_cols = [], []
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, mt), 1)
+        for n in range(N):
+            ox, oy = QOX[:, n:n + 1], QOY[:, n:n + 1]       # (eb, 1)
+            d2 = jnp.square(ox - TX) + jnp.square(oy - TY)  # (eb, MT)
+            d2 = jnp.where(VALID > 0.0, d2, _BIG)
+            m = jnp.min(d2, axis=1, keepdims=True)
+            idx = jnp.min(
+                jnp.where(d2 == m, iota, mt), axis=1, keepdims=True
+            )
+            nbeta_cols.append(jnp.sum(
+                jnp.where(iota == idx, BETA, 0.0), axis=1, keepdims=True
+            ))
+            road_in = point_in(ox, oy, QX, QY, EDX, EDY)
+            curb_in = point_in(ox, oy, CQX, CQY, CDX, CDY)
+            grass_cols.append(1.0 - jnp.max(
+                jnp.maximum(road_in, curb_in), axis=1, keepdims=True
+            ))
+        nbeta_o[...] = jnp.concatenate(nbeta_cols, axis=1)
+        grass_o[...] = jnp.concatenate(grass_cols, axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_agents", "interpret"))
+def track_pass_batched_v2(
+    quad_T,        # (E, 4, 2, MT) f32
+    quad_ax_T,     # (E, 4, 2, MT) f32
+    quad_lo,       # (E, 4, MT) f32
+    quad_hi,       # (E, 4, MT) f32
+    curb_quad_T,   # (E, 4, 2, MT) f32
+    xy,            # (E, MT, 2) f32
+    beta,          # (E, MT) f32
+    valid,         # (E, MT) bool
+    n_tiles,       # (E,) int32
+    wheel_c,       # (E, N, 4, 2) f32 — PRE-solve pose
+    forw,          # (E, N, 4, 2)
+    side,          # (E, N, 4, 2)
+    pre_origin,    # (E, N, 2)
+    post_origin,   # (E, N, 2)
+    visited,       # (E, N, MT) bool
+    tile_touched,  # (E, MT) bool
+    num_agents: int,
+    interpret: bool = False,
+):
+    """Same contract as track_pass_batched, envs-on-sublanes layout.
+
+    All table preparation (coordinate splits, edge deltas) is XLA on the
+    UNCHANGED per-step track leaves — loop-invariant inside rollout scans,
+    so XLA's LICM hoists it out of the hot loop."""
+    E, N = wheel_c.shape[0], num_agents
+    MT = beta.shape[1]
+    W = 4 * N
+    f32 = jnp.float32
+
+    qx, qy = quad_T[:, :, 0, :], quad_T[:, :, 1, :]         # (E, 4, MT)
+    edx = jnp.roll(qx, -1, axis=1) - qx
+    edy = jnp.roll(qy, -1, axis=1) - qy
+    axx, axy = quad_ax_T[:, :, 0, :], quad_ax_T[:, :, 1, :]
+    cqx, cqy = curb_quad_T[:, :, 0, :], curb_quad_T[:, :, 1, :]
+    cdx = jnp.roll(cqx, -1, axis=1) - cqx
+    cdy = jnp.roll(cqy, -1, axis=1) - cqy
+    tx, ty = xy[..., 0], xy[..., 1]
+    validf = valid.astype(f32)
+    nt = n_tiles.astype(f32)[:, None]                        # (E, 1)
+    wc = wheel_c.reshape(E, W, 2)
+    fw = forw.reshape(E, W, 2)
+    sd = side.reshape(E, W, 2)
+    vis_f = visited.astype(f32)                              # (E, N, MT)
+    tt_f = tile_touched.astype(f32)
+
+    eb = _eb2_for(E)
+    grid = E // eb
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+
+    def bspec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (eb,) + shape,
+            (lambda g, _nd=nd: (g,) + (0,) * _nd),
+            memory_space=mem,
+        )
+
+    outs = pl.pallas_call(
+        _make_kernel_v2(N, MT),
+        grid=(grid,),
+        in_specs=[
+            bspec(4, MT)] * 12 + [bspec(MT)] * 4 + [bspec(1)]
+            + [bspec(W)] * 6 + [bspec(N)] * 4
+            + [bspec(N, MT), bspec(MT)],
+        out_specs=[
+            bspec(W), bspec(N), bspec(N), bspec(N), bspec(N),
+            bspec(N, MT), bspec(MT),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((E, W), f32),
+            jax.ShapeDtypeStruct((E, N), f32),
+            jax.ShapeDtypeStruct((E, N), f32),
+            jax.ShapeDtypeStruct((E, N), f32),
+            jax.ShapeDtypeStruct((E, N), f32),
+            jax.ShapeDtypeStruct((E, N, MT), f32),
+            jax.ShapeDtypeStruct((E, MT), f32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qx, qy, edx, edy, axx, axy, quad_lo, quad_hi, cqx, cqy, cdx, cdy,
+      tx, ty, beta, validf, nt,
+      wc[..., 0], wc[..., 1], fw[..., 0], fw[..., 1], sd[..., 0], sd[..., 1],
+      pre_origin[..., 0], pre_origin[..., 1],
+      post_origin[..., 0], post_origin[..., 1],
+      vis_f, tt_f)
+
+    won_o, bonus_o, cnt_o, nbeta_o, grass_o, vis_o, tt_o = outs
+    return (
+        won_o.reshape(E, N, 4) > 0.0,
+        vis_o > 0.0,
+        bonus_o,
+        cnt_o.astype(jnp.int32),
+        tt_o > 0.0,
+        nbeta_o,
+        grass_o > 0.0,
+    )

@@ -104,3 +104,62 @@ def test_kernel_spawn_tick_bonuses():
         states.append(s)
     batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
     _compare(cfg, batched)
+
+
+def _kernel_outputs_v2(cfg, batched):
+    cars = batched.cars
+    forw, side = wheel_forward_side(cars)
+    tr = batched.track
+    return track_engine.track_pass_batched_v2(
+        tr.quad_T, tr.quad_ax_T, tr.quad_lo, tr.quad_hi, tr.curb_quad_T,
+        tr.xy, tr.beta, tr.valid, tr.n_tiles,
+        cars.wheel_c, forw, side, cars.hull_origin, cars.hull_origin,
+        batched.visited, batched.tile_touched,
+        num_agents=cfg.num_agents, interpret=True,
+    )
+
+
+def _compare_v2(cfg, batched):
+    ref = _xla_outputs(cfg, batched)
+    out = _kernel_outputs_v2(cfg, batched)
+    names = [
+        "wheel_on_road", "visited", "bonus", "count", "touched",
+        "nearest_beta", "on_grass",
+    ]
+    for name, r, o in zip(names, ref, out):
+        r, o = np.asarray(r), np.asarray(o)
+        if r.dtype == bool or name == "count":
+            np.testing.assert_array_equal(o, r, err_msg=name)
+        else:
+            np.testing.assert_allclose(o, r, atol=2e-5, err_msg=name)
+
+
+def test_kernel_v2_matches_xla_two_agents():
+    cfg, batched = _driven_states(2, 40)
+    _compare_v2(cfg, batched)
+
+
+def test_kernel_v2_matches_xla_one_agent():
+    cfg, batched = _driven_states(1, 60, seeds=(2, 9))
+    _compare_v2(cfg, batched)
+
+
+def test_kernel_v2_matches_xla_four_agents_with_visits():
+    cfg, batched = _driven_states(4, 25, seeds=(11, 4))
+    _compare_v2(cfg, batched)
+
+
+def test_kernel_v2_spawn_tick_bonuses():
+    cfg = C.EnvConfig(num_agents=4)
+    states = []
+    for seed in (11, 5):
+        s, _ = tenv.host_reset(
+            cfg, seed=seed, global_stream=seeding.GlobalStream(seed)
+        )
+        s = s.replace(
+            visited=jnp.zeros_like(s.visited),
+            tile_touched=jnp.zeros_like(s.tile_touched),
+        )
+        states.append(s)
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    _compare_v2(cfg, batched)
