@@ -330,16 +330,15 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
             )
         if mode == "pallas":
             interpret = jax.default_backend() != "tpu"
-            # Contact partition (pallas_world.step_physics_batched): cap the
-            # compact contact sub-batch at 1/16 of the (per-shard) batch,
-            # floor 128 — exact at any cap (lax.cond falls back to the full
-            # kernel when the broadphase finds more near envs). Override
-            # with MCR_PARTITION_CAP (0 disables).
-            shard_e = axis_size // (am.size if am is not None else 1)
-            cap = 0
-            if n > 1 and shard_e >= 1024:
-                cap = max(128, shard_e // 16)
-            cap = int(os.environ.get("MCR_PARTITION_CAP", cap))
+            # Contact partition (pallas_world.step_physics_batched): gather
+            # up to MCR_PARTITION_CAP broadphase-positive envs into a compact
+            # sub-batch for the full collide kernel, run everyone else
+            # joints-only — exact at any cap (lax.cond falls back to the full
+            # kernel when the broadphase finds more near envs). OFF by
+            # default: measured 593k vs 730k env-steps/s at 4096x2 (the
+            # per-step argsort + full-tree gather/scatter outweigh the
+            # kernel savings; docs/PERF.md).
+            cap = int(os.environ.get("MCR_PARTITION_CAP", 0))
 
             def kernel_call(cars, lagged_on_road, contact_state):
                 new_cars, skid, new_cs = pallas_world.step_physics_batched(

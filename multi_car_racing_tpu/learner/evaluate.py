@@ -124,6 +124,8 @@ def main():
     ap.add_argument("--num-agents", type=int, default=2)
     ap.add_argument("--obs", choices=["state", "pixels"], default="state")
     ap.add_argument("--action-repeat", type=int, default=1)
+    ap.add_argument("--width", type=int, default=256,
+                    help="state-torso width (must match the checkpoint)")
     ap.add_argument("--normalize-obs", action="store_true")
     ap.add_argument("--carracing-v0", action="store_true",
                     help="1 agent, fixed CCW direction, no backwards flag")
@@ -142,6 +144,7 @@ def main():
     ppo_cfg = PPOConfig(
         num_envs=args.episodes, obs_type=args.obs,
         action_repeat=args.action_repeat, normalize_obs=args.normalize_obs,
+        width=args.width,
     )
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
     ts = checkpoint.restore(args.checkpoint, ts)

@@ -63,6 +63,14 @@ class PPOConfig:
     # for reward by the reference) priced into the learner's signal keeps
     # the racing line on asphalt; evaluation stays on the real env return.
     train_grass_cost: float = 0.0
+    # Training-only potential-based shaping on SKIPPED tiles (the direct
+    # price of chicane-cutting): potential phi(s) = -c * skipped(s), where
+    # skipped = unvisited valid tiles minus the largest circular unvisited
+    # run (the not-yet-reached arc). Added as gamma*phi(s') - phi(s), so it
+    # is policy-invariant in the limit (Ng et al. 1999) and pays -c the
+    # moment a tile is passed without being visited, +c when a missed tile
+    # is recovered. Evaluation stays on the real env return.
+    train_skip_cost: float = 0.0
 
 
 @pytree_dataclass
@@ -100,6 +108,31 @@ def _rms_update(rms, batch):
     new_mean = rms["mean"] + delta * bc / tot
     m2 = rms["var"] * rms["count"] + bv * bc + jnp.square(delta) * rms["count"] * bc / tot
     return dict(mean=new_mean, var=m2 / tot, count=tot)
+
+
+def _skipped_tiles(env_state):
+    """Per-car count of *skipped* tiles: unvisited valid tiles that are not
+    part of the largest circular unvisited run. The visited set of a car
+    driving the lap is a contiguous arc, so every unvisited tile outside the
+    single biggest gap (the not-yet-reached arc) was passed and missed — the
+    exact event that makes the all-tiles done condition (mcr:498-499)
+    unreachable. Direction-independent. Returns (E, N) float32."""
+    u = env_state.visited  # (E, N, MT) bool
+    u = (~u) & env_state.track.valid[:, None, :]
+    mt = u.shape[-1]
+    idx = jnp.arange(mt, dtype=jnp.int32)
+    # Linear run length ending at i: i - (last index j <= i with u_j False).
+    last_false = jax.lax.cummax(jnp.where(u, -1, idx), axis=u.ndim - 1)
+    run = jnp.where(u, idx - last_false, 0)                       # (E, N, MT)
+    longest_lin = run.max(-1)
+    # Circular wrap: run starting at tile 0 + run ending at tile n-1
+    # (padding past n is u=False, so take the run value at n-1 directly).
+    head = jnp.cumprod(u.astype(jnp.int32), axis=-1).sum(-1)
+    n1 = jnp.maximum(env_state.track.n_tiles.astype(jnp.int32) - 1, 0)
+    tail = jnp.take_along_axis(run, n1[:, None, None], axis=-1)[..., 0]
+    total = u.sum(-1)
+    longest = jnp.minimum(jnp.maximum(longest_lin, head + tail), total)
+    return (total - longest).astype(jnp.float32)
 
 
 def _observe(env_cfg, ppo_cfg, env_state):
@@ -194,6 +227,7 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             a, a_env, logp, value = policy(ts.params, norm(obs), k_act)
             shape_cost = ppo_cfg.train_step_cost
             grass_cost = ppo_cfg.train_grass_cost
+            skip_cost = ppo_cfg.train_skip_cost
 
             def shaped(r, es):
                 r = r - shape_cost
@@ -201,9 +235,17 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                     r = r - grass_cost * es.driving_on_grass.astype(r.dtype)
                 return r
 
+            def phi(es):
+                return -skip_cost * _skipped_tiles(es)            # (E, N)
+
             if R == 1:
+                if skip_cost:
+                    phi0 = phi(env_state)
                 env_state, r, done = env_step(env_state, a_env)
-                r = shaped(r, env_state) * alive.astype(jnp.float32)[:, None]
+                r = shaped(r, env_state)
+                if skip_cost:
+                    r = r + (ppo_cfg.gamma * phi(env_state) - phi0)
+                r = r * alive.astype(jnp.float32)[:, None]
                 fin = done | (env_state.steps >= max_steps)
                 ret_snap = env_state.reward                       # (E, N)
             else:
@@ -214,21 +256,28 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                 # ret_snap freezes the cumulative env score at the step the
                 # episode actually finished (for honest return metrics).
                 def rep_body(carry, _):
-                    es, racc, seen_fin, snap = carry
+                    es, racc, seen_fin, snap, phi_prev = carry
                     es, r, done = env_step(es, a_env)
+                    r = shaped(r, es)
+                    if skip_cost:
+                        phi_new = phi(es)
+                        r = r + (ppo_cfg.gamma * phi_new - phi_prev)
+                        phi_prev = phi_new
                     live = 1.0 - seen_fin.astype(jnp.float32)
-                    racc = racc + shaped(r, es) * live[:, None]
+                    racc = racc + r * live[:, None]
                     snap = jnp.where(seen_fin[:, None], snap, es.reward)
                     seen_fin = seen_fin | done | (es.steps >= max_steps)
-                    return (es, racc, seen_fin, snap), None
+                    return (es, racc, seen_fin, snap, phi_prev), None
 
-                (env_state, r, fin, ret_snap), _ = jax.lax.scan(
+                (env_state, r, fin, ret_snap, _), _ = jax.lax.scan(
                     rep_body,
                     (
                         env_state,
                         jnp.zeros((E, N), jnp.float32),
                         ~alive,
                         env_state.reward,
+                        phi(env_state) if skip_cost
+                        else jnp.zeros((E, N), jnp.float32),
                     ),
                     None, length=R,
                 )

@@ -161,7 +161,14 @@ _HULL_AABB_HALF = tuple(
 )
 _wv = shapes.CAR_FIXTURE_VERTS[~_HULL_FIXT].reshape(-1, 2)
 _WHEEL_AABB_HALF = tuple(float(v) for v in np.abs(_wv).max(0))
-_BP_SLACK = _TOTAL_RADIUS + 1e-3
+# Box2D's b2_aabbExtension (b2Settings.h). A slack of just _TOTAL_RADIUS is
+# NOT sufficient for culling soundness: for vertex-vertex closest features
+# the SAT max face separation can be as low as gap*cos(45 deg) for these
+# right-angle boxes, so a pair whose AABB gap is barely above the slack
+# could still produce manifold points with separation <= _TOTAL_RADIUS.
+# 0.1 m >= sqrt(2)*_TOTAL_RADIUS covers that with Box2D's own margin; far
+# envs are meters apart, so the culling rate is unaffected.
+_BP_SLACK = 0.1
 
 
 def _tire_core(ha, wa_, wvx, wvy, gas, brake, steer, spin, phase, fuel,
@@ -1184,53 +1191,62 @@ def step_physics_batched(
     Returns (new CarState, skid (E, N, 4) bool, new collide.ContactState).
     """
     E, N = cars.hull_c.shape[0], num_cars
-    if partition_cap and N > 1 and not force_no_contacts and E > partition_cap:
-        kw = dict(
-            velocity_iters=velocity_iters, position_iters=position_iters,
-            contact_velocity_iters=contact_velocity_iters,
-            contact_position_iters=contact_position_iters,
-            dt=dt, interpret=interpret,
-        )
+    mm = contact_state.ids.shape[1] if N > 1 else 1
+    kw = dict(
+        velocity_iters=velocity_iters, position_iters=position_iters,
+        contact_velocity_iters=contact_velocity_iters,
+        contact_position_iters=contact_position_iters,
+        dt=dt, interpret=interpret,
+    )
+    packed = _pack_inputs(cars, wheel_on_road, contact_state, N, E, mm)
 
+    if partition_cap and N > 1 and not force_no_contacts and E > partition_cap:
+        cap = partition_cap
         near = near_flags(cars, N)
 
-        def fast(args):
-            cars, onroad, cs = args
-            order = jnp.argsort(jnp.logical_not(near), stable=True)
-            sub = order[:partition_cap]
-
-            def take(x):
-                return x[sub]
-
-            sub_cars, sub_skid, sub_cs = step_physics_batched(
-                jax.tree_util.tree_map(take, cars), take(onroad),
-                jax.tree_util.tree_map(take, cs), N, **kw,
+        def fast(packed):
+            # Compact the broadphase-positive envs into `cap` slots with a
+            # cumsum + one (E,)-int32 scatter. The partition operates on the
+            # 9 packed env-minor kernel inputs / 8 outputs — NOT the CarState
+            # pytree — so routing is ~17 last-axis gathers/scatters instead
+            # of ~80 (a stable argsort over E plus full-tree routing measured
+            # ~1.3 ms/step of pure overhead at E=4096; docs/PERF.md).
+            pos = jnp.cumsum(near) - 1
+            slot = jnp.where(near, pos, cap).astype(jnp.int32)
+            sub = jnp.zeros((cap,), jnp.int32).at[slot].set(
+                jnp.arange(E, dtype=jnp.int32), mode="drop"
             )
-            all_cars, all_skid, all_cs = step_physics_batched(
-                cars, onroad, cs, N, force_no_contacts=True, **kw,
+            sub_out = _call_packed(
+                tuple(x[..., sub] for x in packed), N, cap, mm,
+                force_no_contacts=False, **kw,
+            )
+            all_out = _call_packed(
+                packed, N, E, mm, force_no_contacts=True, **kw
             )
             # Unconditional scatter is exact: a broadphase-negative env in
             # the (padded) sub-batch produces bit-equal results to the
-            # joints-only kernel (all its contact ops add exact zeros).
-
-            def put(a, b):
-                return a.at[sub].set(b)
-
-            return (
-                jax.tree_util.tree_map(put, all_cars, sub_cars),
-                put(all_skid, sub_skid),
-                jax.tree_util.tree_map(put, all_cs, sub_cs),
+            # joints-only kernel (all its contact ops add exact zeros), and
+            # duplicate pad slots (unused entries point at env 0) write
+            # identical values.
+            return tuple(
+                a.at[..., sub].set(b) for a, b in zip(all_out, sub_out)
             )
 
-        def slow(args):
-            cars, onroad, cs = args
-            return step_physics_batched(cars, onroad, cs, N, **kw)
+        def slow(packed):
+            return _call_packed(
+                packed, N, E, mm, force_no_contacts=False, **kw
+            )
 
-        return jax.lax.cond(
-            jnp.sum(near) <= partition_cap, fast, slow,
-            (cars, wheel_on_road, contact_state),
+        outs = jax.lax.cond(jnp.sum(near) <= cap, fast, slow, packed)
+    else:
+        outs = _call_packed(
+            packed, N, E, mm, force_no_contacts=force_no_contacts, **kw
         )
+    return _unpack_outputs(cars, outs)
 
+
+def _pack_inputs(cars, wheel_on_road, contact_state, N, E, mm):
+    """CarState / ContactState -> the 9 packed env-minor kernel inputs."""
     f32 = jnp.float32
     hull_in, wheel_in = _pack_state(cars)
     tire_in = jnp.stack([
@@ -1245,7 +1261,6 @@ def step_physics_batched(
     ])                                                    # (4, 4, N, E)
     ls_in = jnp.transpose(cars.limit_state, (2, 1, 0))    # (4, N, E) int32
 
-    mm = contact_state.ids.shape[1] if N > 1 else 1
     if N > 1:
         pids_in = jnp.transpose(contact_state.ids, (1, 0))[None]   # (1, MM, E)
         pimp_in = jnp.stack([
@@ -1254,6 +1269,21 @@ def step_physics_batched(
             _t2(contact_state.tangent_imp[..., 0]),
             _t2(contact_state.tangent_imp[..., 1]),
         ])                                                # (4, MM, E)
+    else:
+        pids_in = jnp.full((1, 1, E), -1, jnp.int32)
+        pimp_in = jnp.zeros((4, 1, E), f32)
+    return (hull_in, wheel_in, tire_in, fuel_in, onroad_in, jnt_in, ls_in,
+            pids_in, pimp_in)
+
+
+def _call_packed(packed, N, E, mm, *, velocity_iters, position_iters,
+                 contact_velocity_iters, contact_position_iters, dt,
+                 interpret, force_no_contacts):
+    """Run the fused mega-kernel on packed inputs; returns 8 packed outputs."""
+    (hull_in, wheel_in, tire_in, fuel_in, onroad_in, jnt_in, ls_in,
+     pids_in, pimp_in) = packed
+    f32 = jnp.float32
+    if N > 1:
         ct = _collide_tables(N)
         ctbls = [
             jnp.asarray(ct["lvx"]), jnp.asarray(ct["lvy"]),
@@ -1263,8 +1293,6 @@ def step_physics_batched(
             jnp.asarray(ct["fixb"]),
         ]
     else:
-        pids_in = jnp.full((1, 1, E), -1, jnp.int32)
-        pimp_in = jnp.zeros((4, 1, E), f32)
         ctbls = [jnp.zeros((1, 1), f32)] * 9
 
     kern = _make_mega_kernel(
@@ -1277,7 +1305,7 @@ def step_physics_batched(
     bspec, cspec = _specs(eb, mem)
     tbls = _contact_tbls(N, f32)
 
-    (hull_o, wheel_o, jnt_o, ls_o, tire_o, fuel_o, ids_o, cimp_o) = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
@@ -1306,6 +1334,10 @@ def step_physics_batched(
     )(hull_in, wheel_in, tire_in, fuel_in, onroad_in, jnt_in, ls_in,
       pids_in, pimp_in, *ctbls, *tbls)
 
+
+def _unpack_outputs(cars, outs):
+    """8 packed kernel outputs -> (new CarState, skid, new ContactState)."""
+    hull_o, wheel_o, jnt_o, ls_o, tire_o, fuel_o, ids_o, cimp_o = outs
     new_cars = _unpack_state(cars, hull_o, wheel_o, jnt_o, ls_o)
     new_cars = new_cars.replace(
         spin=_u3(tire_o[0]),

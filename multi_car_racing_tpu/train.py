@@ -17,11 +17,17 @@ import time
 
 
 def main():
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
+    # jax is already imported by the time main() runs (package __init__ ->
+    # gym_api), so the JAX_COMPILATION_CACHE_DIR env var would be a no-op
+    # here; the post-import config.update path works regardless.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".jax_cache"),
     )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     ap = argparse.ArgumentParser()
     ap.add_argument("--updates", type=int, default=20)
     ap.add_argument("--num-envs", type=int, default=256)
@@ -52,6 +58,10 @@ def main():
     ap.add_argument("--train-grass-cost", type=float, default=0.0,
                     help="training-only per-step cost while on grass "
                          "(anti-corner-cutting; eval uses the real return)")
+    ap.add_argument("--train-skip-cost", type=float, default=0.0,
+                    help="training-only potential-based penalty per skipped "
+                         "tile (passed without visiting; eval uses the real "
+                         "return)")
     ap.add_argument("--anneal-lr", action="store_true",
                     help="linear lr decay to 0 over --updates")
     ap.add_argument("--seed", type=int, default=0)
@@ -111,6 +121,7 @@ def main():
         anneal_lr=args.anneal_lr, total_updates=args.updates,
         width=args.width, train_step_cost=args.train_step_cost,
         train_grass_cost=args.train_grass_cost,
+        train_skip_cost=args.train_skip_cost,
     )
 
     mesh = pmesh.make_mesh()

@@ -61,6 +61,51 @@ def test_learning_signal_on_tiny_problem():
     assert float(metrics["v_loss"]) < first * 1.5  # not diverging
 
 
+def test_skipped_tiles_counter():
+    """_skipped_tiles = unvisited valid tiles outside the largest circular
+    unvisited run (the not-yet-reached arc)."""
+    from types import SimpleNamespace
+
+    def mk(visited_idx, n=10, mt=12):
+        v = np.zeros((1, 1, mt), bool)
+        v[0, 0, visited_idx] = True
+        valid = np.zeros((1, mt), bool)
+        valid[0, :n] = True
+        return SimpleNamespace(
+            visited=jnp.asarray(v),
+            track=SimpleNamespace(
+                valid=jnp.asarray(valid),
+                n_tiles=jnp.asarray([n], jnp.int32),
+            ),
+        )
+
+    f = lambda s: float(ppo._skipped_tiles(s)[0, 0])
+    assert f(mk([0, 1, 2, 3])) == 0.0            # contiguous arc: no skips
+    assert f(mk([8, 9, 0, 1])) == 0.0            # arc wraps the seam
+    assert f(mk([0, 1, 2, 4, 5])) == 1.0         # tile 3 missed
+    assert f(mk([0, 1, 3, 5])) == 2.0            # tiles 2 and 4 missed
+    assert f(mk(list(range(10)))) == 0.0         # all visited
+    assert f(mk([])) == 0.0                      # none visited (fresh reset)
+    # Missed tile at the seam: unvisited = {0} and {4..8}; the largest
+    # circular run is 4..8 (len 5), so the lone tile 0 counts as skipped.
+    assert f(mk([9, 1, 2, 3])) == 1.0
+
+
+def test_skip_cost_train_step_runs():
+    """train_skip_cost wires into both the R==1 and the action-repeat rollout
+    paths without breaking the update."""
+    env_cfg = C.EnvConfig(num_agents=2, velocity_iters=4, position_iters=2)
+    for repeat in (1, 2):
+        ppo_cfg = ppo.PPOConfig(
+            rollout_len=2, num_envs=4, pool_size=2, minibatches=2, epochs=1,
+            train_skip_cost=3.0, action_repeat=repeat,
+        )
+        ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+        train_step = jax.jit(ppo.make_train_step(env_cfg, ppo_cfg))
+        ts2, metrics = train_step(ts)
+        assert np.isfinite(float(metrics["loss"]))
+
+
 def test_train_step_pixels():
     """PPO over the real 96x96x3 pixel observations (reference contract):
     rollout renders per step, CNN torso, one update."""
