@@ -331,14 +331,18 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
         if mode == "pallas":
             interpret = jax.default_backend() != "tpu"
             # Contact partition (pallas_world.step_physics_batched): gather
-            # up to MCR_PARTITION_CAP broadphase-positive envs into a compact
-            # sub-batch for the full collide kernel, run everyone else
-            # joints-only — exact at any cap (lax.cond falls back to the full
-            # kernel when the broadphase finds more near envs). OFF by
-            # default: measured 593k vs 730k env-steps/s at 4096x2 (the
-            # per-step argsort + full-tree gather/scatter outweigh the
-            # kernel savings; docs/PERF.md).
-            cap = int(os.environ.get("MCR_PARTITION_CAP", 0))
+            # up to cap broadphase-positive envs into a compact sub-batch for
+            # the full collide kernel, run everyone else joints-only — exact
+            # at any cap (lax.cond falls back to the full kernel when the
+            # broadphase finds more near envs). Default cap = shard/4 for
+            # 2-agent batches: measured 981k vs 730k env-steps/s at 4096x2
+            # with ~20-25% of envs broadphase-positive under random actions
+            # (docs/PERF.md; cap sweep 896/1024/1152/1280/1536/2048 peaked
+            # at E/4). For N>2 the near fraction is untested — opt in with
+            # MCR_PARTITION_CAP (0 disables).
+            shard_e = axis_size // (am.size if am is not None else 1)
+            cap = shard_e // 4 if (n == 2 and shard_e >= 2048) else 0
+            cap = int(os.environ.get("MCR_PARTITION_CAP", cap))
 
             def kernel_call(cars, lagged_on_road, contact_state):
                 new_cars, skid, new_cs = pallas_world.step_physics_batched(

@@ -977,10 +977,24 @@ def _make_mega_kernel(num_cars, velocity_iters, position_iters,
 # Host wrappers
 # ---------------------------------------------------------------------------
 
-def _grid_eb(E):
-    if E > MAX_ENVS_PER_PROGRAM and E % MAX_ENVS_PER_PROGRAM == 0:
-        return E // MAX_ENVS_PER_PROGRAM, MAX_ENVS_PER_PROGRAM
-    return 1, E
+def _grid_eb(E, mm=1):
+    """Grid size and envs-per-program block.
+
+    The per-program VMEM working set scales with eb * manifold rows. The
+    2-agent case (MM=48) fits a whole 4096-env batch in one program; larger
+    agent counts (MM grows ~N^2: 288 at N=4) must shrink the env block or
+    the kernel VMEM-OOMs (measured 534 MB scoped at N=4, eb=4096). Scale
+    eb so eb*MM stays within half the 2-agent budget (margin for the
+    register allocator), keeping eb a power-of-two divisor of E."""
+    cap = MAX_ENVS_PER_PROGRAM
+    if mm > 48:
+        cap = max(128, (MAX_ENVS_PER_PROGRAM * 24 // mm) // 128 * 128)
+    eb = 1
+    while eb * 2 <= min(E, cap) and E % (eb * 2) == 0:
+        eb *= 2
+    if E <= cap:
+        eb = E                       # odd small batches: one program
+    return E // eb, eb
 
 
 def _specs(eb, mem):
@@ -1118,7 +1132,7 @@ def world_step_batched(
         N, velocity_iters, position_iters,
         contact_velocity_iters, contact_position_iters, dt,
     )
-    grid, eb = _grid_eb(E)
+    grid, eb = _grid_eb(E, mm)
     mem = pltpu.VMEM if not interpret else pltpu.ANY
     bspec, cspec = _specs(eb, mem)
     tbls = _contact_tbls(N, f32)
@@ -1300,7 +1314,7 @@ def _call_packed(packed, N, E, mm, *, velocity_iters, position_iters,
         contact_velocity_iters, contact_position_iters, dt,
         force_no_contacts=force_no_contacts,
     )
-    grid, eb = _grid_eb(E)
+    grid, eb = _grid_eb(E, mm)
     mem = pltpu.VMEM if not interpret else pltpu.ANY
     bspec, cspec = _specs(eb, mem)
     tbls = _contact_tbls(N, f32)

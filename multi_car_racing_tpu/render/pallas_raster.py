@@ -33,6 +33,7 @@ phase cheap: every slot still paints, just into a tiny band.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,18 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import config as C
 from . import geometry as G
 from . import raster as R
+
+# Dev-only ablation knob for kernel profiling: comma list of sections to
+# SKIP (background,quads,warmup,cars,hud,score,flag,palette). Read at trace
+# time; never set in production (output is wrong with any section off).
+_ABLATE = frozenset(
+    s for s in os.environ.get("MCR_RASTER_ABLATE", "").split(",") if s
+)
+
+# Compact active quad slots to the front of the table (XLA precompute) so
+# the kernel's slot loop only visits live slots. Exact (stable order).
+# MCR_RASTER_COMPACT=0 restores the fixed-bound loop for A/B timing.
+_COMPACT = os.environ.get("MCR_RASTER_COMPACT", "1") == "1"
 
 BAND = 32          # rows touched per tile-quad/rect slot (max quad height ~29)
 CAR_BAND = 16      # rows per car slot (car diag 3.63 m * 16.2 px/m * 96/800
@@ -101,12 +114,6 @@ def _view_inputs(cfg, state, n):
     # otherwise be missing from warmup frames).
     ca, sa = jnp.cos(angles), jnp.sin(angles)
     warm = (zoom < 0.999 * C.ZOOM * C.SCALE).astype(f32) * jnp.ones_like(ca)
-    cam = jnp.stack(
-        [ca, sa, trans[:, 0], trans[:, 1],
-         1.0 / zoom * jnp.ones_like(ca),
-         warm, jnp.zeros_like(ca), jnp.zeros_like(ca)],
-        axis=-1,
-    )[:, None, :]                                                # (N, 1, 8)
 
     # --- quad slots: windowed tiles + curbs, interleaved (paint order).
     ccx, ccy = G.window_to_world(
@@ -166,6 +173,33 @@ def _view_inputs(cfg, state, n):
         )                                                        # (N, S, 16)
 
     quad_slots = pack_quads(quads, pals, valid)
+
+    # Compact the active (onscreen) quad slots to the front, preserving
+    # their relative order (paint order is semantic: later tiles overwrite
+    # seam pixels), and pass the active count to the kernel so the slot
+    # loop only visits live slots (~half of SQ in steady state). Stable
+    # cumsum positions + a one-hot MXU product (a scatter would serialize).
+    act = quad_slots[..., 13] > 0.0                              # (N, SQ)
+    nq = jnp.sum(act, axis=-1).astype(f32)                       # (N,)
+    if _COMPACT:
+        dpos = jnp.cumsum(act, axis=-1) - 1                      # (N, SQ)
+        oh2 = (
+            (dpos[:, None, :] == jnp.arange(SQ, dtype=i32)[None, :, None])
+            & act[:, None, :]
+        ).astype(f32)                                            # (N, SQ->j, SQ<-t)
+        quad_slots = jax.lax.dot_general(
+            oh2, quad_slots, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )                                                        # (N, SQ, 16)
+    else:
+        nq = jnp.full_like(nq, SQ)
+
+    cam = jnp.stack(
+        [ca, sa, trans[:, 0], trans[:, 1],
+         1.0 / zoom * jnp.ones_like(ca),
+         warm, nq, jnp.zeros_like(ca)],
+        axis=-1,
+    )[:, None, :]                                                # (N, 1, 8)
 
     # --- car slots, two tables: 4-edge wheel/marker quads and 8-edge hull
     # polys (+ backwards triangle). Splitting saves the 4 degenerate padded
@@ -322,10 +356,13 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
         (jnp.mod(ix, 2) == 0) & (jnp.mod(iy, 2) == 0)
         & (ix >= -20) & (ix < 20) & (iy >= -20) & (iy < 20)
     )
-    base = jnp.full((H, WPAD), R.PAL_WHITE, jnp.int32)
-    base = jnp.where(infield, R.PAL_GRASS_DARK, base)
-    base = jnp.where(infield & lighter, R.PAL_GRASS_LIGHT, base)
-    idx[:, :] = base
+    if "background" not in _ABLATE:
+        base = jnp.full((H, WPAD), R.PAL_WHITE, jnp.int32)
+        base = jnp.where(infield, R.PAL_GRASS_DARK, base)
+        base = jnp.where(infield & lighter, R.PAL_GRASS_LIGHT, base)
+        idx[:, :] = base
+    else:
+        idx[:, :] = jnp.zeros((H, WPAD), jnp.int32)
 
     warmup = cam_ref[0, 0, 5] > 0.0
 
@@ -353,15 +390,16 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
     # zoom-out: the FULL track painted in world space (creation order —
     # tile i then its curb, mcr:309-334), since the windows cover only the
     # tiles near the car while most of the track is visible.
-    @pl.when(jnp.logical_not(warmup))
+    @pl.when(jnp.logical_not(warmup) & ("quads" not in _ABLATE))
     def _():
         def quad_body(t, _):
             paint_poly(quad_ref, t, 4, 12, 13, 14)
             return 0
 
-        jax.lax.fori_loop(0, SQ, quad_body, 0)
+        nq = cam_ref[0, 0, 6].astype(jnp.int32)   # active count (compacted)
+        jax.lax.fori_loop(0, nq, quad_body, 0)
 
-    @pl.when(warmup)
+    @pl.when(warmup & ("warmup" not in _ABLATE))
     def _():
         gxb = gxs[:, :]
         gyb = gys[:, :]
@@ -419,9 +457,10 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
         paint_poly(p8_ref, t, 8, 24, 25, 26, band=CAR_BAND)
         return 0
 
-    for car in range(ncar):
-        jax.lax.fori_loop(8 * car, 8 * car + 8, q4_body, 0)
-        jax.lax.fori_loop(4 * car, 4 * car + 4, p8_body, 0)
+    if "cars" not in _ABLATE:
+        for car in range(ncar):
+            jax.lax.fori_loop(8 * car, 8 * car + 8, q4_body, 0)
+            jax.lax.fori_loop(4 * car, 4 * car + 4, p8_body, 0)
 
     # --- HUD rects.
     def rect_body(t, _):
@@ -437,13 +476,14 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
         idx[pl.ds(r0, BAND), :] = jnp.where(cov, pal, cur)
         return 0
 
-    jax.lax.fori_loop(0, SR, rect_body, 0)
+    if "hud" not in _ABLATE:
+        jax.lax.fori_loop(0, SR, rect_body, 0)
 
     # --- score glyphs (fixed 16-row band).
     r0 = H - 16
     wxb = wxs[pl.ds(r0, 16), :]
     wyb = wys[pl.ds(r0, 16), :]
-    for i in range(4):
+    for i in range(4 if "score" not in _ABLATE else 0):
         dxg = (wxb - (G.SCORE_X + i * G.SCORE_SPACING)) / G.SCORE_DIGIT_W * 5.0
         dyg = (G.SCORE_Y + G.SCORE_DIGIT_H / 2 - wyb) / G.SCORE_DIGIT_H * 7.0
         gcol = jnp.floor(dxg)
@@ -462,20 +502,24 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
     # --- backwards flag triangle, LAST (mcr:668-674 paints it after the
     # HUD; its rows sit inside the black bar, so painting it before the
     # rects erased it — a pixel the oracle shows on every backward frame).
-    if p8_ref.shape[1] > 4 * ncar:
+    if p8_ref.shape[1] > 4 * ncar and "flag" not in _ABLATE:
         paint_poly(p8_ref, 4 * ncar, 8, 24, 25, 26, band=CAR_BAND)
 
     # --- palette expansion in VMEM: idx plane -> 3 uint8 channel planes.
     # Doing this here (vs XLA on the int32 plane) avoids ~17 HBM passes over
     # the batched plane (measured 2.2 ms at 2048 views).
     plane = idx[:, :]
-    for ch in range(3):
-        chan = jnp.full((H, WPAD), int(R.PALETTE_U8[0, ch]), jnp.int32)
-        for c in range(1, R.PALETTE_U8.shape[0]):
-            val = int(R.PALETTE_U8[c, ch])
-            if val != int(R.PALETTE_U8[0, ch]):
-                chan = jnp.where(plane == c, val, chan)
-        out_ref[0, ch, :, :] = chan.astype(jnp.uint8)
+    if "palette" in _ABLATE:
+        for ch in range(3):
+            out_ref[0, ch, :, :] = plane.astype(jnp.uint8)
+    else:
+        for ch in range(3):
+            chan = jnp.full((H, WPAD), int(R.PALETTE_U8[0, ch]), jnp.int32)
+            for c in range(1, R.PALETTE_U8.shape[0]):
+                val = int(R.PALETTE_U8[c, ch])
+                if val != int(R.PALETTE_U8[0, ch]):
+                    chan = jnp.where(plane == c, val, chan)
+            out_ref[0, ch, :, :] = chan.astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
