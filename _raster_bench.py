@@ -21,16 +21,52 @@ state = jax.jit(jax.vmap(partial(tenv.reset_from_parts, cfg)))(
     jnp.broadcast_to(jnp.asarray(d=="CW")[None], (E,)))
 
 from functools import partial as _p
+
+# Advance past the 1 s zoom animation unless MCR_RB_WARMUP=1: warmup frames
+# take the kernel's full-track world-space path (~122 us/view vs ~5.7
+# steady) and would otherwise dominate the measurement.
+if os.environ.get("MCR_RB_WARMUP", "0") != "1":
+    _step = jax.jit(jax.vmap(_p(tenv.step, cfg)))
+    _act = jnp.tile(jnp.asarray([[0.0, 0.3, 0.0]], jnp.float32), (E, 2, 1))
+
+    @_p(jax.jit, static_argnums=1)
+    def _roll(s, k):
+        def b(s, _):
+            s, r, d = _step(s, _act)
+            return s, r.mean()
+        return jax.lax.scan(b, s, None, length=k)
+
+    state, _rs = _roll(state, 60)
+    float(_rs.sum())
+
+
 @_p(jax.jit, static_argnums=1)
 def render_chain(state, n):
-    def body(acc, _):
-        img = tobs.pixel_observation_batched(cfg, state)
-        return acc + img.astype(jnp.uint32).sum(), None
-    acc, _ = jax.lax.scan(body, jnp.uint32(0), None, length=n)
+    # Perturb the state per iteration (hull position by t*1e-6 m) so the
+    # render is NOT loop-invariant — XLA hoists an invariant render out of
+    # the scan and the timing becomes a no-op (measured 0.01 us/view).
+    # Consume only a pixel slice: the kernel can't be partially executed,
+    # and a full-image uint32 sum is itself multiple HBM sweeps.
+    def body(acc, t):
+        st = state.replace(
+            cars=state.cars.replace(
+                hull_c=state.cars.hull_c + t.astype(jnp.float32) * 1e-6
+            )
+        )
+        img = tobs.pixel_observation_batched(cfg, st)
+        return acc + img[0, 0, ::31, ::31, 0].astype(jnp.uint32).sum(), None
+    acc, _ = jax.lax.scan(body, jnp.uint32(0), jnp.arange(n), length=n)
     return acc
 
 n = 20
-t0=time.time(); r = render_chain(state, n); jax.block_until_ready(r); c=time.time()-t0
-t0=time.time(); r = render_chain(state, n); jax.block_until_ready(r); e=time.time()-t0
+# Timing methodology (docs/PERF.md): the timed dispatch needs a FRESH input
+# value — repeating the identical computation can return at enqueue time.
+state2 = state.replace(
+    cars=state.cars.replace(hull_c=state.cars.hull_c + 1e-5)
+)
+# block_until_ready can acknowledge at enqueue over the axon tunnel; a
+# host read of the result scalar cannot.
+t0=time.time(); float(render_chain(state, n)); c=time.time()-t0
+t0=time.time(); float(render_chain(state2, n)); e=time.time()-t0
 views = E*2*n
 print(f"E={E} n={n} compile+first={c:.1f}s timed={e:.3f}s -> {e/views*1e6:.2f} us/view, {views/e:.0f} views/s")

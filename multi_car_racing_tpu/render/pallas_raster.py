@@ -120,7 +120,6 @@ def _view_inputs(cfg, state, n):
         jnp.full((n,), C.WINDOW_W / 2, f32), jnp.full((n,), C.WINDOW_H / 2, f32),
         zoom, angles, trans,
     )
-    widx = R._window_indices(track, jnp.stack([ccx, ccy], -1), R.W1, R.W2)
     i32 = jnp.int32
     mt = track.max_tiles
     tile_pal = jnp.where(
@@ -130,12 +129,34 @@ def _view_inputs(cfg, state, n):
     curb_pal = jnp.where(
         track.curb_red, jnp.asarray(R.PAL_RED, i32), jnp.asarray(R.PAL_WHITE, i32)
     )
+    # Window membership as a MASK + stable cumsum compaction — no sort.
+    # (R._window_indices ends in jnp.sort over the merged windows, which
+    # profiled at ~0.3 us/view; the compacted one-hot below produces the
+    # same tiles in the same ascending creation/paint order, with window
+    # overlaps collapsed instead of painted twice — pixel-identical.)
+    centers = jnp.stack([ccx, ccy], -1)                          # (N, 2)
+    d2 = jnp.sum(jnp.square(centers[:, None, :] - track.xy[None]), axis=-1)
+    d2 = jnp.where(track.valid[None], d2, jnp.inf)
+    ntil = track.n_tiles
+    iota_mt = jnp.arange(mt, dtype=i32)
+    near1 = jnp.argmin(d2, axis=1).astype(i32)
+    s1 = jnp.mod(near1 - R.W1 // 2, ntil)
+    off1 = jnp.mod(iota_mt[None, :] - s1[:, None], ntil)
+    in1 = (off1 < R.W1) & track.valid[None, :]
+    near2 = jnp.argmin(jnp.where(in1, jnp.inf, d2), axis=1).astype(i32)
+    s2 = jnp.mod(near2 - R.W2 // 2, ntil)
+    off2 = jnp.mod(iota_mt[None, :] - s2[:, None], ntil)
+    wmask = in1 | ((off2 < R.W2) & track.valid[None, :])         # (N, MT)
+    wpos = jnp.cumsum(wmask, axis=-1) - 1
+    oh = (
+        (wpos[:, None, :] == jnp.arange(R.WS, dtype=i32)[None, :, None])
+        & wmask[:, None, :]
+    ).astype(f32)                                                # (N, WS, MT)
     # Windowed gather as a one-hot MXU matmul: jnp.take with (N, WS) indices
     # and 8-float trailing payload lowers to a serial gather on TPU (measured
     # ~70x slower at 2048 views). A single (N·WS, MT) @ (MT, 20) product
     # fetches quads + curb quads + palettes + validity in one pass, exactly
     # (one nonzero per one-hot row; x*1.0 is exact in f32).
-    oh = (widx[..., None] == jnp.arange(mt, dtype=i32)).astype(f32)  # (N, WS, MT)
     cols = jnp.concatenate(
         [
             track.quad.reshape(mt, 8).astype(f32),
@@ -313,35 +334,59 @@ def _view_inputs(cfg, state, n):
         [bits, jnp.zeros((n, 4, 1), i32)], axis=-1
     )                                                            # (N, 4, 8)
 
-    # --- per-env full-track metadata for the warmup world-space pass.
-    tmeta = jnp.stack(
-        [tile_pal.astype(f32), curb_pal.astype(f32),
-         track.valid.astype(f32), track.has_curb.astype(f32)],
-        axis=-1,
-    )                                                            # (MT, 4)
-    return cam, quad_slots, quad4_slots, poly8_slots, rect_slots, score_bits, tmeta
+    return cam, quad_slots, quad4_slots, poly8_slots, rect_slots, score_bits
 
 
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
-            tq_ref, cq_ref, tmeta_ref, out_ref, idx, wxs, wys, gxs, gys):
-    f32 = jnp.float32
-    row = jax.lax.broadcasted_iota(jnp.int32, (H, WPAD), 0).astype(f32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (H, WPAD), 1).astype(f32)
-    wx = (col + 0.5) * (C.WINDOW_W / W)          # pad lanes map past 1000
-    wy = (H - 0.5 - row) * (C.WINDOW_H / H)
-    wxs[:, :] = wx
-    wys[:, :] = wy
+def _make_kernel(B: int, n: int, warm: bool):
+    """Kernel painting B views per program (B a multiple of n).
 
+    Per-program fixed costs — input/output DMA latency, grid bookkeeping,
+    the window-coordinate plane setup — amortize over the B views. Views of
+    the same env share its track tables: the per-program track block covers
+    G = B/n envs and view b reads env b//n.
+
+    ``warm=False`` compiles WITHOUT the zoom-out full-track branch: the
+    full-track tables (tq/cq/tmeta) are warmup-only, and materializing +
+    layout-copying + DMA-ing them every step profiled at ~1.5 us/view of
+    the steady-state cost (narrow inner dims pad 16-32x under T(8,128)
+    tiling). render_pixels lax.cond-selects the variant per step."""
+    G_ENVS = max(1, B // n)
+
+    def kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
+               tq_ref, cq_ref, tmeta_ref, out_ref, idx, wxs, wys, gxs, gys):
+        f32 = jnp.float32
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, WPAD), 0).astype(f32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (H, WPAD), 1).astype(f32)
+        wx = (col + 0.5) * (C.WINDOW_W / W)      # pad lanes map past 1000
+        wy = (H - 0.5 - row) * (C.WINDOW_H / H)
+        wxs[:, :] = wx
+        wys[:, :] = wy
+
+        for b in range(B):
+            _paint_view(
+                b, (b // n) if G_ENVS > 1 else 0, warm,
+                cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
+                tq_ref, cq_ref, tmeta_ref, out_ref,
+                idx, wxs, wys, gxs, gys, wx, wy,
+            )
+
+    return kernel
+
+
+def _paint_view(b, el, warm, cam_ref, quad_ref, q4_ref, p8_ref, rect_ref,
+                score_ref, tq_ref, cq_ref, tmeta_ref, out_ref,
+                idx, wxs, wys, gxs, gys, wx, wy):
+    """Paint view b (track tables at env-local index el) into out_ref[b]."""
     # --- background: inverse camera -> world, grass + checker, white outside.
-    ca = cam_ref[0, 0, 0]
-    sa = cam_ref[0, 0, 1]
-    tx = cam_ref[0, 0, 2]
-    ty = cam_ref[0, 0, 3]
-    inv_zoom = cam_ref[0, 0, 4]
+    ca = cam_ref[b, 0, 0]
+    sa = cam_ref[b, 0, 1]
+    tx = cam_ref[b, 0, 2]
+    ty = cam_ref[b, 0, 3]
+    inv_zoom = cam_ref[b, 0, 4]
     dx = wx - tx
     dy = wy - ty
     gx = (ca * dx + sa * dy) * inv_zoom
@@ -364,24 +409,24 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
     else:
         idx[:, :] = jnp.zeros((H, WPAD), jnp.int32)
 
-    warmup = cam_ref[0, 0, 5] > 0.0
+    warmup = cam_ref[b, 0, 5] > 0.0
 
     def paint_poly(vref, t, nedges, pal_i, act_i, r0_i, band=BAND):
-        active = vref[0, t, act_i] > 0.0
+        active = vref[b, t, act_i] > 0.0
 
         @pl.when(active)
         def _():
-            r0 = vref[0, t, r0_i].astype(jnp.int32)
+            r0 = vref[b, t, r0_i].astype(jnp.int32)
             wxb = wxs[pl.ds(r0, band), :]
             wyb = wys[pl.ds(r0, band), :]
             cov = None
             for e in range(nedges):
-                c1 = vref[0, t, 3 * e]
-                c2 = vref[0, t, 3 * e + 1]
-                k0 = vref[0, t, 3 * e + 2]
+                c1 = vref[b, t, 3 * e]
+                c2 = vref[b, t, 3 * e + 1]
+                k0 = vref[b, t, 3 * e + 2]
                 c = c2 * wyb - c1 * wxb + k0 >= 0.0
                 cov = c if cov is None else cov & c
-            pal = vref[0, t, pal_i].astype(jnp.int32)
+            pal = vref[b, t, pal_i].astype(jnp.int32)
             cur = idx[pl.ds(r0, band), :]
             idx[pl.ds(r0, band), :] = jnp.where(cov, pal, cur)
 
@@ -396,11 +441,18 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
             paint_poly(quad_ref, t, 4, 12, 13, 14)
             return 0
 
-        nq = cam_ref[0, 0, 6].astype(jnp.int32)   # active count (compacted)
+        nq = cam_ref[b, 0, 6].astype(jnp.int32)   # active count (compacted)
         jax.lax.fori_loop(0, nq, quad_body, 0)
 
-    @pl.when(warmup & ("warmup" not in _ABLATE))
-    def _():
+    if warm and "warmup" not in _ABLATE:
+        _def_warm_branch = pl.when(warmup)
+    else:
+        # Steady-state kernel variant: the full-track refs are 1-row
+        # dummies; skip tracing the branch entirely.
+        _def_warm_branch = lambda f: None
+
+    @_def_warm_branch
+    def _warm_branch():
         gxb = gxs[:, :]
         gyb = gys[:, :]
 
@@ -434,12 +486,12 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
             idx[:, :] = jnp.where(cov, lanes(pal1).astype(jnp.int32), idx[:, :])
 
         def far_body(t, _):
-            meta = tmeta_ref[0, pl.ds(t, 1), :]        # (1, 4)
+            meta = tmeta_ref[el, pl.ds(t, 1), :]       # (1, 4)
             world_quad(
-                tq_ref[0, pl.ds(t, 1), :], meta[:, 0:1], meta[:, 2:3]
+                tq_ref[el, pl.ds(t, 1), :], meta[:, 0:1], meta[:, 2:3]
             )
             world_quad(
-                cq_ref[0, pl.ds(t, 1), :], meta[:, 1:2], meta[:, 3:4]
+                cq_ref[el, pl.ds(t, 1), :], meta[:, 1:2], meta[:, 3:4]
             )
             return 0
 
@@ -464,14 +516,14 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
 
     # --- HUD rects.
     def rect_body(t, _):
-        r0 = rect_ref[0, t, 6].astype(jnp.int32)
+        r0 = rect_ref[b, t, 6].astype(jnp.int32)
         wxb = wxs[pl.ds(r0, BAND), :]
         wyb = wys[pl.ds(r0, BAND), :]
         cov = (
-            (wxb >= rect_ref[0, t, 0]) & (wxb <= rect_ref[0, t, 1])
-            & (wyb >= rect_ref[0, t, 2]) & (wyb <= rect_ref[0, t, 3])
+            (wxb >= rect_ref[b, t, 0]) & (wxb <= rect_ref[b, t, 1])
+            & (wyb >= rect_ref[b, t, 2]) & (wyb <= rect_ref[b, t, 3])
         )
-        pal = rect_ref[0, t, 4].astype(jnp.int32)
+        pal = rect_ref[b, t, 4].astype(jnp.int32)
         cur = idx[pl.ds(r0, BAND), :]
         idx[pl.ds(r0, BAND), :] = jnp.where(cov, pal, cur)
         return 0
@@ -491,7 +543,7 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
         inbox = (gcol >= 0) & (gcol < 5) & (grow >= 0) & (grow < 7)
         rowbits = jnp.zeros((16, WPAD), jnp.int32)
         for rr in range(7):
-            rowbits = jnp.where(grow == rr, score_ref[0, i, rr], rowbits)
+            rowbits = jnp.where(grow == rr, score_ref[b, i, rr], rowbits)
         shift = jnp.clip(4 - gcol, 0, 4).astype(jnp.int32)
         on = inbox & (
             jnp.bitwise_and(rowbits, jnp.left_shift(1, shift)) > 0
@@ -511,7 +563,7 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
     plane = idx[:, :]
     if "palette" in _ABLATE:
         for ch in range(3):
-            out_ref[0, ch, :, :] = plane.astype(jnp.uint8)
+            out_ref[b, ch, :, :] = plane.astype(jnp.uint8)
     else:
         for ch in range(3):
             chan = jnp.full((H, WPAD), int(R.PALETTE_U8[0, ch]), jnp.int32)
@@ -519,7 +571,7 @@ def _kernel(cam_ref, quad_ref, q4_ref, p8_ref, rect_ref, score_ref,
                 val = int(R.PALETTE_U8[c, ch])
                 if val != int(R.PALETTE_U8[0, ch]):
                     chan = jnp.where(plane == c, val, chan)
-            out_ref[0, ch, :, :] = chan.astype(jnp.uint8)
+            out_ref[b, ch, :, :] = chan.astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -529,14 +581,12 @@ def render_pixels(cfg, state, interpret: bool = False):
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests).
     """
     n = cfg.num_agents
-    cam, quads, quad4, poly8, rects, score, tmeta = jax.vmap(
+    cam, quads, quad4, poly8, rects, score = jax.vmap(
         lambda s: _view_inputs(cfg, s, n)
     )(state)
     E = cam.shape[0]
     V = E * n
     mt = state.track.max_tiles
-    tq = state.track.quad.reshape(E, mt, 8).astype(jnp.float32)
-    cq = state.track.curb_quad.reshape(E, mt, 8).astype(jnp.float32)
 
     def flat(x):
         return x.reshape((V,) + x.shape[2:])
@@ -546,40 +596,92 @@ def render_pixels(cfg, state, interpret: bool = False):
     )
     s4, s8 = quad4.shape[1], poly8.shape[1]
 
-    def env_spec(rows, width):
-        # Per-ENV block (views of one env share the track): program v reads
-        # env v // n.
-        return pl.BlockSpec(
-            (1, rows, width), lambda v: (v // n, 0, 0),
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM,
-        )
+    # Views per program (B): per-program fixed costs (DMA latency, plane
+    # setup) amortize over B views; views of one env share its track-table
+    # block. Default 8 (measure: MCR_RASTER_VPB). B must be a multiple of
+    # n and divide V.
+    B = int(os.environ.get("MCR_RASTER_VPB", "8"))
+    B = max(n, (B // n) * n)
+    while V % B:
+        B -= n
+    B = max(B, n)
+    genv = B // n
 
-    out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((V, 3, H, WPAD), jnp.uint8),
-        grid=(V,),
-        in_specs=[
-            pl.BlockSpec((1, 1, 8), lambda v: (v, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, SQ, 16), lambda v: (v, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, s4, 16), lambda v: (v, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, s8, 28), lambda v: (v, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, SR, 8), lambda v: (v, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4, 8), lambda v: (v, 0, 0), memory_space=pltpu.SMEM),
-            env_spec(mt, 8),
-            env_spec(mt, 8),
-            env_spec(mt, 4),
-        ],
-        out_specs=pl.BlockSpec((1, 3, H, WPAD), lambda v: (v, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((H, WPAD), jnp.int32),
-            pltpu.VMEM((H, WPAD), jnp.float32),
-            pltpu.VMEM((H, WPAD), jnp.float32),
-            pltpu.VMEM((H, WPAD), jnp.float32),
-            pltpu.VMEM((H, WPAD), jnp.float32),
-        ],
-        interpret=interpret,
-    )(cam, quads, quad4, poly8, rects, score, tq, cq, tmeta)
+    def call(warm, tq, cq, tmeta):
+        trows = tq.shape[1]
+
+        def env_spec(rows, width):
+            # Per-program track block: G envs, view b reads env b // n.
+            return pl.BlockSpec(
+                (genv, rows, width), lambda v: (v, 0, 0),
+                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+            )
+
+        return pl.pallas_call(
+            _make_kernel(B, n, warm),
+            out_shape=jax.ShapeDtypeStruct((V, 3, H, WPAD), jnp.uint8),
+            grid=(V // B,),
+            in_specs=[
+                pl.BlockSpec((B, 1, 8), lambda v: (v, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((B, SQ, 16), lambda v: (v, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((B, s4, 16), lambda v: (v, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((B, s8, 28), lambda v: (v, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((B, SR, 8), lambda v: (v, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((B, 4, 8), lambda v: (v, 0, 0),
+                             memory_space=pltpu.SMEM),
+                env_spec(trows, 8),
+                env_spec(trows, 8),
+                env_spec(trows, 4),
+            ],
+            out_specs=pl.BlockSpec((B, 3, H, WPAD), lambda v: (v, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((H, WPAD), jnp.int32),
+                pltpu.VMEM((H, WPAD), jnp.float32),
+                pltpu.VMEM((H, WPAD), jnp.float32),
+                pltpu.VMEM((H, WPAD), jnp.float32),
+                pltpu.VMEM((H, WPAD), jnp.float32),
+            ],
+            interpret=interpret,
+        )(cam, quads, quad4, poly8, rects, score, tq, cq, tmeta)
+
+    # The full-track tables feed ONLY the zoom-out branch. Build (and pay
+    # the layout copies + per-program DMA for) them only on steps where
+    # some view is still zooming — in steady state the cond's other branch
+    # passes 1-row dummies and a kernel compiled without the branch.
+    def warm_call(_):
+        track = state.track
+        f32 = jnp.float32
+        i32 = jnp.int32
+        tq = track.quad.reshape(E, mt, 8).astype(f32)
+        cq = track.curb_quad.reshape(E, mt, 8).astype(f32)
+        tile_pal = jnp.where(
+            state.tile_touched, jnp.asarray(R.PAL_ROAD0, i32),
+            (R.PAL_ROAD0 + jnp.mod(jnp.arange(mt), 3)).astype(i32)[None, :],
+        )
+        curb_pal = jnp.where(
+            track.curb_red, jnp.asarray(R.PAL_RED, i32),
+            jnp.asarray(R.PAL_WHITE, i32),
+        )
+        tmeta = jnp.stack(
+            [tile_pal.astype(f32), curb_pal.astype(f32),
+             track.valid.astype(f32), track.has_curb.astype(f32)],
+            axis=-1,
+        )                                                    # (E, MT, 4)
+        return call(True, tq, cq, tmeta)
+
+    def steady_call(_):
+        z8 = jnp.zeros((E, 1, 8), jnp.float32)
+        z4 = jnp.zeros((E, 1, 4), jnp.float32)
+        return call(False, z8, z8, z4)
+
+    any_warm = jnp.any(cam[:, 0, 5] > 0.0)
+    out = jax.lax.cond(any_warm, warm_call, steady_call, None)
 
     # Crop pad lanes, channels-last.
     img = jnp.transpose(out[:, :, :, :W], (0, 2, 3, 1))
