@@ -169,7 +169,12 @@ def optimizer(ppo_cfg: PPOConfig):
             ppo_cfg.total_updates * ppo_cfg.epochs * ppo_cfg.minibatches,
         )
     else:
-        lr = ppo_cfg.lr
+        # A constant *schedule* (not a float) keeps the opt_state tree
+        # structure identical to the anneal case (ScaleByScheduleState), so
+        # checkpoints restore across fine-tune phases that switch anneal
+        # on/off or change the lr (a float lr lowers to stateless
+        # optax.scale, which breaks orbax structural restore).
+        lr = optax.constant_schedule(ppo_cfg.lr)
     return optax.chain(
         optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
         optax.adam(lr),

@@ -122,3 +122,28 @@ def test_train_step_pixels():
         lambda a, b: float(jnp.abs(a - b).max()), ts.params, ts2.params
     )
     assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_checkpoint_restore_across_lr_configs(tmp_path):
+    """A checkpoint from an --anneal-lr run restores into a constant-lr run
+    (fine-tune phases routinely change the lr config). The optimizer always
+    uses a schedule so the opt_state tree structure is invariant; a float lr
+    would lower to stateless optax.scale and break orbax structural
+    restore (the round-3 p2 launch failure)."""
+    from multi_car_racing_tpu import checkpoint
+
+    env_cfg = C.EnvConfig(num_agents=1, use_random_direction=False,
+                          backwards_flag=False,
+                          velocity_iters=4, position_iters=2)
+    pc_anneal = ppo.PPOConfig(rollout_len=2, num_envs=2, pool_size=2,
+                              anneal_lr=True, total_updates=7)
+    pc_const = ppo.PPOConfig(rollout_len=2, num_envs=2, pool_size=2,
+                             anneal_lr=False, lr=1e-4)
+    ts_a = ppo.init_train_state(env_cfg, pc_anneal, jax.random.PRNGKey(0))
+    ts_c = ppo.init_train_state(env_cfg, pc_const, jax.random.PRNGKey(1))
+    path = str(tmp_path / "ck")
+    checkpoint.save(path, ts_a)
+    out = checkpoint.restore(path, ts_c)
+    # Params came from the anneal run, structure from the constant-lr one.
+    a, b = jax.tree_util.tree_leaves(ts_a.params), jax.tree_util.tree_leaves(out.params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
