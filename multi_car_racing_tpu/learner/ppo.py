@@ -98,11 +98,21 @@ def _rms_normalize(rms, obs):
     )
 
 
-def _rms_update(rms, batch):
-    """Chan et al. parallel-variance merge of a new batch (..., D)."""
+def _rms_update(rms, batch, mask=None):
+    """Chan et al. parallel-variance merge of a new batch (..., D).
+
+    ``mask`` (batch.shape[:-1]) excludes samples from the statistics —
+    post-termination observations (an off-field car drifting until the
+    autoreset) would otherwise drag the running mean/var arbitrarily far."""
     x = batch.reshape(-1, batch.shape[-1]).astype(jnp.float32)
-    bc = jnp.asarray(x.shape[0], jnp.float32)
-    bm, bv = x.mean(0), x.var(0)
+    if mask is not None:
+        mw = mask.reshape(-1).astype(jnp.float32)[:, None]
+        bc = jnp.maximum(mw.sum(), 1.0)
+        bm = (x * mw).sum(0) / bc
+        bv = (jnp.square(x - bm) * mw).sum(0) / bc
+    else:
+        bc = jnp.asarray(x.shape[0], jnp.float32)
+        bm, bv = x.mean(0), x.var(0)
     delta = bm - rms["mean"]
     tot = rms["count"] + bc
     new_mean = rms["mean"] + delta * bc / tot
@@ -334,10 +344,17 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
 
         def loss_fn(params, mbatch):
             # Post-termination transitions (alive=0) carry no learning signal.
+            live = mbatch["mask"] > 0
             w = mbatch["mask"] / jnp.maximum(mbatch["mask"].sum(), 1.0)
             mean, log_std, value = net.apply(params, norm(mbatch["obs"]))
             logp = _logp_gauss(mean, log_std, mbatch["action"])
-            ratio = jnp.exp(logp - mbatch["logp"])
+            # Masked samples are garbage (an off-field car drifts until the
+            # end-of-update autoreset, so its obs are extreme): exp() or the
+            # squared value error can overflow to inf there, and inf * w=0 is
+            # NaN in the weighted sums — neutralize the INPUTS, not just the
+            # weights. (Observed: a 2-agent run where every env hit the time
+            # limit in the same rollout NaN'd the whole update.)
+            ratio = jnp.exp(jnp.where(live, logp - mbatch["logp"], 0.0))
             adv = mbatch["adv"]
             adv_mu = jnp.sum(adv * w)
             adv_sd = jnp.sqrt(jnp.sum(jnp.square(adv - adv_mu) * w))
@@ -351,11 +368,10 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             v_clip = mbatch["value"] + jnp.clip(
                 value - mbatch["value"], -ppo_cfg.clip_eps, ppo_cfg.clip_eps
             )
+            v_err = jnp.where(live, value - mbatch["ret"], 0.0)
+            vc_err = jnp.where(live, v_clip - mbatch["ret"], 0.0)
             v_loss = 0.5 * jnp.sum(
-                jnp.maximum(
-                    jnp.square(value - mbatch["ret"]),
-                    jnp.square(v_clip - mbatch["ret"]),
-                ) * w
+                jnp.maximum(jnp.square(v_err), jnp.square(vc_err)) * w
             )
             ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1).mean()
             loss = pg + ppo_cfg.vf_coef * v_loss - ppo_cfg.ent_coef * ent
@@ -407,7 +423,10 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
         )
 
         env_state = tenv.reset_done_envs(env_cfg, env_state, ts.pool, k_reset)
-        obs_rms = _rms_update(ts.obs_rms, traj["obs"]) if use_rms else None
+        obs_rms = (
+            _rms_update(ts.obs_rms, traj["obs"], traj["alive"])
+            if use_rms else None
+        )
 
         metrics = dict(
             loss=stats[0].mean(),

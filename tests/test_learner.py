@@ -147,3 +147,44 @@ def test_checkpoint_restore_across_lr_configs(tmp_path):
     # Params came from the anneal run, structure from the constant-lr one.
     a, b = jax.tree_util.tree_leaves(ts_a.params), jax.tree_util.tree_leaves(out.params)
     assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_all_envs_finished_no_nan():
+    """Every env hitting the time limit inside one rollout must not NaN the
+    update. Post-termination transitions carry extreme garbage obs (an
+    off-field car drifts until the autoreset); inf * 0-weight used to NaN
+    the weighted loss sums (observed on a 2-agent run where all 1024 envs
+    crossed the 1000-step limit in the same rollout)."""
+    env_cfg = C.EnvConfig(num_agents=2, velocity_iters=4, position_iters=2,
+                          max_episode_steps=3)
+    ppo_cfg = ppo.PPOConfig(
+        rollout_len=6, num_envs=4, pool_size=2, minibatches=2, epochs=1,
+        normalize_obs=True, train_grass_cost=0.5, train_skip_cost=2.0,
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    train_step = jax.jit(ppo.make_train_step(env_cfg, ppo_cfg))
+    for _ in range(3):
+        ts, metrics = train_step(ts)
+        for k in ("loss", "pg_loss", "v_loss"):
+            assert np.isfinite(float(metrics[k])), k
+        for leaf in jax.tree_util.tree_leaves(ts.params):
+            assert bool(jnp.isfinite(leaf).all())
+        assert bool(jnp.isfinite(ts.obs_rms["mean"]).all())
+        assert bool(jnp.isfinite(ts.obs_rms["var"]).all())
+
+
+def test_rms_update_mask_excludes_garbage():
+    rng = np.random.RandomState(0)
+    clean = rng.randn(50, 3).astype(np.float32)
+    garbage = np.full((10, 3), 1e30, np.float32)
+    batch = jnp.asarray(np.concatenate([clean, garbage]))
+    mask = jnp.asarray(np.concatenate([np.ones(50), np.zeros(10)]))
+    rms = dict(mean=jnp.zeros(3), var=jnp.ones(3),
+               count=jnp.asarray(1e-4, jnp.float32))
+    out = ppo._rms_update(rms, batch, mask)
+    np.testing.assert_allclose(np.asarray(out["mean"]), clean.mean(0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(out["count"]), 50 + 1e-4, rtol=1e-5)
+    # Unmasked call on the same batch is poisoned — the guard matters.
+    bad = ppo._rms_update(rms, batch)
+    assert float(np.abs(np.asarray(bad["mean"])).max()) > 1e20
