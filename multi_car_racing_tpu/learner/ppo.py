@@ -117,7 +117,15 @@ def _rms_update(rms, batch, mask=None):
     tot = rms["count"] + bc
     new_mean = rms["mean"] + delta * bc / tot
     m2 = rms["var"] * rms["count"] + bv * bc + jnp.square(delta) * rms["count"] * bc / tot
-    return dict(mean=new_mean, var=m2 / tot, count=tot)
+    merged = dict(mean=new_mean, var=m2 / tot, count=tot)
+    if mask is not None:
+        # An all-masked batch must be a no-op, not a phantom zero-sample
+        # merged at the bc=1 clamp.
+        keep = mw.sum() > 0
+        merged = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(keep, a, b), merged, rms
+        )
+    return merged
 
 
 def _skipped_tiles(env_state):
@@ -346,7 +354,13 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             # Post-termination transitions (alive=0) carry no learning signal.
             live = mbatch["mask"] > 0
             w = mbatch["mask"] / jnp.maximum(mbatch["mask"].sum(), 1.0)
-            mean, log_std, value = net.apply(params, norm(mbatch["obs"]))
+            # Masked obs can be arbitrarily extreme (off-field drift until
+            # autoreset); without --normalize-obs's +-10 clip they can drive
+            # inf/nan activations whose jnp.where backward (0 * inf) still
+            # NaNs grads. Zero the inputs, not just the cotangents.
+            obs_live = live.reshape(live.shape + (1,) * (mbatch["obs"].ndim - 1))
+            obs_safe = jnp.where(obs_live, mbatch["obs"], 0)
+            mean, log_std, value = net.apply(params, norm(obs_safe))
             logp = _logp_gauss(mean, log_std, mbatch["action"])
             # Masked samples are garbage (an off-field car drifts until the
             # end-of-update autoreset, so its obs are extreme): exp() or the
