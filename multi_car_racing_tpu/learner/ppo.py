@@ -368,7 +368,8 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             # NaN in the weighted sums — neutralize the INPUTS, not just the
             # weights. (Observed: a 2-agent run where every env hit the time
             # limit in the same rollout NaN'd the whole update.)
-            ratio = jnp.exp(jnp.where(live, logp - mbatch["logp"], 0.0))
+            dlogp = jnp.where(live, logp - mbatch["logp"], 0.0)
+            ratio = jnp.exp(dlogp)
             adv = mbatch["adv"]
             adv_mu = jnp.sum(adv * w)
             adv_sd = jnp.sqrt(jnp.sum(jnp.square(adv - adv_mu) * w))
@@ -389,7 +390,10 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             )
             ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1).mean()
             loss = pg + ppo_cfg.vf_coef * v_loss - ppo_cfg.ent_coef * ent
-            return loss, (pg, v_loss, jnp.sum(jnp.abs(ratio - 1) * w))
+            return loss, (
+                pg, v_loss, jnp.sum(jnp.abs(ratio - 1) * w),
+                jnp.max(jnp.abs(dlogp)),
+            )
 
         def epoch_body(carry, k_ep):
             params, opt_state = carry
@@ -402,9 +406,10 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                 (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, mbatch
                 )
+                gn = optax.global_norm(grads)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, *aux)
+                return (params, opt_state), (loss, *aux, gn)
 
             (params, opt_state), stats = jax.lax.scan(
                 mb_body, (params, opt_state), jnp.arange(ppo_cfg.minibatches)
@@ -447,6 +452,8 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             pg_loss=stats[1].mean(),
             v_loss=stats[2].mean(),
             ratio_dev=stats[3].mean(),
+            dlogp_max=stats[4].max(),
+            grad_norm_max=stats[5].max(),
             mean_step_reward=traj["reward"].mean(),
             mean_value=traj["value"].mean(),
             ep_return=ep_return,

@@ -27,6 +27,7 @@ results match the XLA pipeline to float-accumulation noise
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -131,9 +132,63 @@ def _collide_tables(num_cars: int):
 
 
 def _dot(a, b):
+    # precision=HIGHEST is load-bearing: the default MXU precision truncates
+    # BOTH operands to bf16. The incidence side (0/±1) is bf16-exact, but the
+    # payload side carries world positions (|x| up to PLAYFIELD=333) — bf16
+    # error ~1 m on contact lever arms of ~1.5 m, which inflated the solver's
+    # effective-mass/bias terms until the contact Gauss-Seidel DIVERGED
+    # (x2/iteration -> inf impulses -> NaN hulls) for sustained multi-point
+    # car-car contacts. Interpret mode (CPU tests) computes f32 exactly, so
+    # only compiled-TPU training runs ever saw it. Measured cost of the
+    # 3-pass decomposition here: ~0 (the solver is issue-bound, not
+    # MXU-bound; docs/PERF.md "routing form" table).
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _dot1(a, b):
+    """Single-pass (default-precision) routing dot: payloads whose values
+    are already small DELTAS (per-point impulse/position corrections), where
+    bf16's ~0.4% relative error applies to the delta, not the state."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+_VEL_GATHER_PASSES = int(os.environ.get("MCR_VEL_GATHER_PASSES", "1"))
+
+
+def _dot2(a, b, passes=2):
+    """Two-pass hi/lo routing dot for the per-iteration solver dots.
+
+    ``a`` is a 0/±1 incidence table (bf16-exact); splitting the payload as
+    b = hi + lo with hi = bf16(b) makes the first pass exact and leaves lo
+    ~= 0.4% of b, whose own bf16 truncation bounds the total relative error
+    at ~1.5e-5 — inside the 5e-3 first-impact parity bar for velocities up
+    to ~40 m/s, at 2x a default-precision dot instead of HIGHEST's 6
+    passes. Positions (|x| up to 333) must NOT come through here: 1.5e-5
+    relative is 5 mm absolute, the size of B2_LINEAR_SLOP — use _dot.
+
+    ``passes=1`` drops the lo pass (bf16 payload, ~0.4% relative): used for
+    the per-iteration contact velocity gather when MCR_VEL_GATHER_PASSES=1
+    — the Gauss-Seidel stays convergent (effective masses are exact; the
+    noise only perturbs the residual it is cancelling) and the error is
+    inside the documented ~1 m post-impact collision-chaos tolerance."""
+    dn = (((1,), (0,)), ((), ()))
+    if passes == 1:
+        return jax.lax.dot_general(a, b, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+    hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = b - hi
+    return (
+        jax.lax.dot_general(a, hi, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(a, lo, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
     )
 
 
@@ -431,10 +486,13 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
             py = lam * ay_
             la = r_akx[k] * py - r_aky[k] * px
             lb = r_bkx[k] * py - r_bky[k] * px
-            dlin = _dot(WDT, jnp.concatenate([px, py], axis=1)) * INVM
+            # Scatter payloads are per-point impulse DELTAS: default
+            # precision errs ~0.4% of each delta, i.e. ~0.4% of the total
+            # accumulated impulse — well under the contact-chaos tolerance.
+            dlin = _dot1(WDT, jnp.concatenate([px, py], axis=1)) * INVM
             vxf = vxf + dlin[:, 0:E1]
             vyf = vyf + dlin[:, E1:]
-            wf = wf + _dot(WBA, jnp.concatenate([lb, la], axis=0)) * INVI
+            wf = wf + _dot1(WBA, jnp.concatenate([lb, la], axis=0)) * INVI
             return vxf, vyf, wf
 
         # ---- contact warm start (before joints: b2Island order).
@@ -550,7 +608,8 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
         wf = jnp.concatenate([hw] + list(ww), axis=0)
 
         def rel_vel(k):
-            g = _dot(WS, jnp.concatenate([vxf, vyf, wf], axis=1))
+            g = _dot2(WS, jnp.concatenate([vxf, vyf, wf], axis=1),
+                      passes=_VEL_GATHER_PASSES)
             va_x, vb_x = g[0:MM, 0:E1], g[MM:, 0:E1]
             va_y, vb_y = g[0:MM, E1:2 * E1], g[MM:, E1:2 * E1]
             wa_g, wb_g = g[0:MM, 2 * E1:], g[MM:, 2 * E1:]
@@ -599,6 +658,16 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
         carry = jax.lax.fori_loop(0, velocity_iters, vel_body_joints, carry)
     (hvx, hvy, hw, wvx, wvy, ww, jix, jiy, jiz, mimp, ni, ti) = carry
     wvx, wvy, ww = list(wvx), list(wvy), list(ww)
+
+    if has_contacts:
+        # Pre-integration positions — the poses the manifold (sep) was
+        # collided on. The contact position loop only ever needs
+        # com - com0, so it routes position DELTAS vs this base (|d| <=
+        # ~2.2 m: one clamped integration step + corrections) through the
+        # 2-pass dot instead of absolute world positions (|x| up to 333,
+        # which would need HIGHEST to keep sub-slop accuracy).
+        cx0f = jnp.concatenate([hcx] + list(wcx), axis=0)
+        cy0f = jnp.concatenate([hcy] + list(wcy), axis=0)
 
     # ---- position integration with Box2D translation/rotation clamps.
     def clamp(vx, vy, w):
@@ -671,12 +740,12 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
         cyf = jnp.concatenate([hcy] + list(wcy), axis=0)
         af = jnp.zeros_like(cxf)   # angle deltas only (rigid-shift manifold)
         for k in range(2):
-            g = _dot(WS, jnp.concatenate([cxf, cyf], axis=1))
-            com_ax, com_bx = g[0:MM, 0:E1], g[MM:, 0:E1]
-            com_ay, com_by = g[0:MM, E1:], g[MM:, E1:]
-            shift = ((com_bx - com_b0x) - (com_ax - com_a0x)) * nx + (
-                (com_by - com_b0y) - (com_ay - com_a0y)
-            ) * ny
+            g = _dot2(
+                WS, jnp.concatenate([cxf - cx0f, cyf - cy0f], axis=1)
+            )
+            da_x, db_x = g[0:MM, 0:E1], g[MM:, 0:E1]
+            da_y, db_y = g[0:MM, E1:], g[MM:, E1:]
+            shift = (db_x - da_x) * nx + (db_y - da_y) * ny
             cc = jnp.clip(
                 C.B2_BAUMGARTE * (sep[k] + shift + C.B2_LINEAR_SLOP),
                 -C.B2_MAX_LINEAR_CORRECTION, 0.0,
@@ -686,10 +755,10 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
             py = imp * ny
             la = r_akx[k] * py - r_aky[k] * px
             lb = r_bkx[k] * py - r_bky[k] * px
-            dlin = _dot(WDT, jnp.concatenate([px, py], axis=1)) * INVM
+            dlin = _dot1(WDT, jnp.concatenate([px, py], axis=1)) * INVM
             cxf = cxf + dlin[:, 0:E1]
             cyf = cyf + dlin[:, E1:]
-            af = af + _dot(WBA, jnp.concatenate([lb, la], axis=0)) * INVI
+            af = af + _dot1(WBA, jnp.concatenate([lb, la], axis=0)) * INVI
         hcx, hcy = cxf[0:N], cyf[0:N]
         ha = ha + af[0:N]
         wcx = [cxf[N + k * N:N + (k + 1) * N] for k in range(4)]
@@ -1078,7 +1147,7 @@ def _contact_tbls(N, f32):
     return [jnp.zeros((1, 1), f32)] * 5
 
 
-_VMEM_LIMIT = 100 * 1024 * 1024
+_VMEM_LIMIT = 116 * 1024 * 1024
 
 
 def world_step_batched(

@@ -607,7 +607,16 @@ def render_pixels(cfg, state, interpret: bool = False):
     B = max(B, n)
     genv = B // n
 
-    def call(warm, tq, cq, tmeta):
+    views = (cam, quads, quad4, poly8, rects, score)
+
+    def call(warm, vws, tq, cq, tmeta):
+        cam_, quads_, quad4_, poly8_, rects_, score_ = vws
+        v_ = cam_.shape[0]
+        b_ = B
+        while v_ % b_:
+            b_ -= n
+        b_ = max(b_, n)
+        genv = b_ // n
         trows = tq.shape[1]
 
         def env_spec(rows, width):
@@ -618,27 +627,27 @@ def render_pixels(cfg, state, interpret: bool = False):
             )
 
         return pl.pallas_call(
-            _make_kernel(B, n, warm),
-            out_shape=jax.ShapeDtypeStruct((V, 3, H, WPAD), jnp.uint8),
-            grid=(V // B,),
+            _make_kernel(b_, n, warm),
+            out_shape=jax.ShapeDtypeStruct((v_, 3, H, WPAD), jnp.uint8),
+            grid=(v_ // b_,),
             in_specs=[
-                pl.BlockSpec((B, 1, 8), lambda v: (v, 0, 0),
+                pl.BlockSpec((b_, 1, 8), lambda v: (v, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((B, SQ, 16), lambda v: (v, 0, 0),
+                pl.BlockSpec((b_, SQ, 16), lambda v: (v, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((B, s4, 16), lambda v: (v, 0, 0),
+                pl.BlockSpec((b_, s4, 16), lambda v: (v, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((B, s8, 28), lambda v: (v, 0, 0),
+                pl.BlockSpec((b_, s8, 28), lambda v: (v, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((B, SR, 8), lambda v: (v, 0, 0),
+                pl.BlockSpec((b_, SR, 8), lambda v: (v, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((B, 4, 8), lambda v: (v, 0, 0),
+                pl.BlockSpec((b_, 4, 8), lambda v: (v, 0, 0),
                              memory_space=pltpu.SMEM),
                 env_spec(trows, 8),
                 env_spec(trows, 8),
                 env_spec(trows, 4),
             ],
-            out_specs=pl.BlockSpec((B, 3, H, WPAD), lambda v: (v, 0, 0, 0),
+            out_specs=pl.BlockSpec((b_, 3, H, WPAD), lambda v: (v, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((H, WPAD), jnp.int32),
@@ -648,40 +657,90 @@ def render_pixels(cfg, state, interpret: bool = False):
                 pltpu.VMEM((H, WPAD), jnp.float32),
             ],
             interpret=interpret,
-        )(cam, quads, quad4, poly8, rects, score, tq, cq, tmeta)
+        )(cam_, quads_, quad4_, poly8_, rects_, score_, tq, cq, tmeta)
 
     # The full-track tables feed ONLY the zoom-out branch. Build (and pay
-    # the layout copies + per-program DMA for) them only on steps where
-    # some view is still zooming — in steady state the cond's other branch
-    # passes 1-row dummies and a kernel compiled without the branch.
-    def warm_call(_):
+    # the layout copies + per-program DMA for) them only for envs that are
+    # still zooming — in steady state the cond's other branch passes 1-row
+    # dummies and a kernel compiled without the branch.
+    def warm_tables(sel):
         track = state.track
-        f32 = jnp.float32
-        i32 = jnp.int32
-        tq = track.quad.reshape(E, mt, 8).astype(f32)
-        cq = track.curb_quad.reshape(E, mt, 8).astype(f32)
+        f32, i32 = jnp.float32, jnp.int32
+        quad, curb_quad, touched, curb_red, valid, has_curb = (
+            track.quad, track.curb_quad, state.tile_touched,
+            track.curb_red, track.valid, track.has_curb,
+        )
+        if sel is not None:
+            quad, curb_quad, touched, curb_red, valid, has_curb = (
+                x[sel]
+                for x in (quad, curb_quad, touched, curb_red, valid, has_curb)
+            )
+        e = quad.shape[0]
+        tq = quad.reshape(e, mt, 8).astype(f32)
+        cq = curb_quad.reshape(e, mt, 8).astype(f32)
         tile_pal = jnp.where(
-            state.tile_touched, jnp.asarray(R.PAL_ROAD0, i32),
+            touched, jnp.asarray(R.PAL_ROAD0, i32),
             (R.PAL_ROAD0 + jnp.mod(jnp.arange(mt), 3)).astype(i32)[None, :],
         )
         curb_pal = jnp.where(
-            track.curb_red, jnp.asarray(R.PAL_RED, i32),
+            curb_red, jnp.asarray(R.PAL_RED, i32),
             jnp.asarray(R.PAL_WHITE, i32),
         )
         tmeta = jnp.stack(
             [tile_pal.astype(f32), curb_pal.astype(f32),
-             track.valid.astype(f32), track.has_curb.astype(f32)],
+             valid.astype(f32), has_curb.astype(f32)],
             axis=-1,
-        )                                                    # (E, MT, 4)
-        return call(True, tq, cq, tmeta)
+        )                                                    # (e, MT, 4)
+        return tq, cq, tmeta
 
     def steady_call(_):
         z8 = jnp.zeros((E, 1, 8), jnp.float32)
         z4 = jnp.zeros((E, 1, 4), jnp.float32)
-        return call(False, z8, z8, z4)
+        return call(False, views, z8, z8, z4)
 
-    any_warm = jnp.any(cam[:, 0, 5] > 0.0)
-    out = jax.lax.cond(any_warm, warm_call, steady_call, None)
+    def warm_call(_):
+        return call(True, views, *warm_tables(None))
+
+    # Zoom is a function of the per-env clock, so warm is per-ENV (every
+    # view of an env shares it). A batch-wide any-warm cond would send the
+    # WHOLE batch down the ~35x-cost full-track path whenever ANY env is in
+    # its first-second zoom-out — under training autoreset (staggered
+    # episode clocks) that is essentially every step, which is what capped
+    # pixel PPO at ~6.5k env-steps/s in round 3. Instead: compact the warm
+    # envs (<= cap of them) into a sub-batch for the warm kernel, run
+    # everyone through the steady kernel, and overwrite the warm views.
+    # Exact at any cap: a steady view through the warm kernel takes the
+    # per-view non-warmup branch (same paint), pad slots duplicate env 0's
+    # views with identical values, and lax.cond falls back to the full warm
+    # path when more than cap envs are warm (e.g. right after a mass reset).
+    warm_env = cam.reshape(E, n, 1, 8)[:, 0, 0, 5] > 0.0      # (E,)
+    explicit_cap = os.environ.get("MCR_RASTER_WARM_CAP")
+    cap = int(explicit_cap) if explicit_cap else max(1, E // 8)
+    if 0 < cap < E and (E >= 64 or explicit_cap):
+        n_warm = jnp.sum(warm_env)
+        pos = jnp.cumsum(warm_env) - 1
+        slot = jnp.where(warm_env, pos, cap).astype(jnp.int32)
+        sub = jnp.zeros((cap,), jnp.int32).at[slot].set(
+            jnp.arange(E, dtype=jnp.int32), mode="drop"
+        )
+        vidx = (
+            sub[:, None] * n + jnp.arange(n, dtype=jnp.int32)[None, :]
+        ).reshape(-1)
+
+        def part(_):
+            steady = steady_call(None)
+            sub_views = tuple(v[vidx] for v in views)
+            wout = call(True, sub_views, *warm_tables(sub))
+            return steady.at[vidx].set(wout)
+
+        out = jax.lax.cond(
+            n_warm == 0,
+            steady_call,
+            lambda _: jax.lax.cond(n_warm <= cap, part, warm_call, None),
+            None,
+        )
+    else:
+        out = jax.lax.cond(jnp.any(warm_env), warm_call, steady_call, None)
 
     # Crop pad lanes, channels-last.
     img = jnp.transpose(out[:, :, :, :W], (0, 2, 3, 1))

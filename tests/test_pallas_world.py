@@ -249,3 +249,51 @@ def test_partition_mixed_and_overflow_exact():
         assert bool((full[2].ids == part[2].ids).all())
         _assert_close("normal_imp", full[2].normal_imp, part[2].normal_imp,
                       tol=1e-6)
+
+
+def test_degenerate_multipoint_contact_converges():
+    """Regression fixture for the round-4 NaN: a head-on 2-car state with 5
+    simultaneous contact points across several fixture-pair manifolds. On
+    TPU, default-precision MXU routing truncated world positions to bf16
+    (~1 m error on 1.5 m lever arms), corrupting the effective masses until
+    the contact Gauss-Seidel diverged x2/iteration to NaN (every 2-agent
+    training run died this way). The fix pins the position-carrying dots to
+    exact routing (_dot HIGHEST / delta-based position loop). This CPU test
+    guards the solve-core algebra on that state: the fused kernel must stay
+    finite, converge to bounded impulses, and agree with the XLA pipeline.
+    The TPU-compiled counterpart is scripts/tpu_checks.py (CPU interpret
+    math was never wrong, so only hardware runs can catch the bf16 leg)."""
+    import pickle
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "contact_divergence_state.pkl")
+    with open(path, "rb") as f:
+        st_np, action = pickle.load(f)
+    st = jax.tree_util.tree_map(jnp.asarray, st_np)
+    from multi_car_racing_tpu.physics import state as pstate
+
+    cars = pstate.apply_controls(st.cars, jnp.asarray(action))
+    carsb = jax.tree_util.tree_map(lambda x: x[None], cars)
+    lag = st.wheel_on_road[None]
+    cs = jax.tree_util.tree_map(lambda x: x[None], st.contacts)
+    # Full reference iteration counts — the divergence grew with iterations.
+    new_cars, skid, new_cs = pallas_world.step_physics_batched(
+        carsb, lag, cs, 2, velocity_iters=180, position_iters=60,
+        interpret=True)
+    for leaf in jax.tree_util.tree_leaves(new_cars):
+        assert bool(jnp.isfinite(leaf).all())
+    ni = np.asarray(new_cs.normal_imp)
+    assert np.isfinite(ni).all() and np.abs(ni).max() < 100.0, (
+        f"contact impulses should stay bounded, got {np.abs(ni).max()}")
+
+    # XLA pipeline on the same state: gross agreement (the two formulations
+    # are Jacobi-subpass vs sequential; this contact state is chaotic).
+    c2, force, motor, _ = tire.tire_step(cars, st.wheel_on_road)
+    man = collide.collide(c2, 2)
+    bundle = collide.make_bundle(man, st.contacts, c2, 2)
+    ref_cars, _ = world.world_step(
+        c2, force, motor, velocity_iters=180, position_iters=60,
+        contacts=bundle)
+    d = np.abs(np.asarray(ref_cars.hull_c) - np.asarray(new_cars.hull_c[0]))
+    assert d.max() < 0.5, f"hull positions drifted {d.max()} from XLA"

@@ -154,6 +154,32 @@ def test_pallas_kernel_warmup_far_track_exact():
     np.testing.assert_array_equal(prod, oracle)
 
 
+def test_pallas_kernel_warm_partition_mixed_batch(driven_state, monkeypatch):
+    """A batch mixing zooming and steady envs must render exactly through
+    the warm-env partition (compact warm sub-batch + steady kernel for
+    everyone + scatter): per-view pixels equal the per-env oracle. Guards
+    the path that restored pixel-PPO throughput (a batch-wide any-warm cond
+    sent every training step down the ~35x full-track pass)."""
+    from multi_car_racing_tpu.render import pallas_raster, xla_raster
+
+    cfg, steady = driven_state
+    warm, _ = tenv.host_reset(cfg, seed=23, global_stream=seeding.GlobalStream(9))
+    step = jax.jit(partial(tenv.step, cfg))
+    for _ in range(5):
+        warm, _, _ = step(warm, jnp.zeros((2, 3)))
+    assert float(warm.t) < 1.0
+    batched = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b, a]), steady, warm
+    )
+    monkeypatch.setenv("MCR_RASTER_WARM_CAP", "1")      # force the partition
+    prod = np.asarray(pallas_raster.render_pixels(cfg, batched, interpret=True))
+    for i, st in enumerate((steady, warm, steady)):
+        oracle = np.asarray(
+            jax.jit(partial(xla_raster.render_observation, cfg))(st)
+        )
+        np.testing.assert_array_equal(prod[i], oracle, err_msg=f"env {i}")
+
+
 def test_pallas_kernel_matches_oracle_postwarmup(driven_state):
     from multi_car_racing_tpu.render import pallas_raster, xla_raster
 
