@@ -12,6 +12,7 @@ contract it exercises is exactly the public step/reset API.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any
 
@@ -107,6 +108,9 @@ def _rms_update(rms, batch, mask=None):
     x = batch.reshape(-1, batch.shape[-1]).astype(jnp.float32)
     if mask is not None:
         mw = mask.reshape(-1).astype(jnp.float32)[:, None]
+        # Masked rows can be NaN (quarantined envs): x * 0 would still be
+        # NaN in the sums — zero the rows, not just the weights.
+        x = jnp.where(mw > 0, x, 0.0)
         bc = jnp.maximum(mw.sum(), 1.0)
         bm = (x * mw).sum(0) / bc
         bv = (jnp.square(x - bm) * mw).sum(0) / bc
@@ -212,8 +216,24 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
     assert ppo_cfg.action_repeat >= 1, "action_repeat must be >= 1"
     net = ActorCritic(obs_type=ppo_cfg.obs_type, width=ppo_cfg.width)
     tx = optimizer(ppo_cfg)
-    env_step = jax.vmap(partial(tenv.step, env_cfg))
+    env_step_raw = jax.vmap(partial(tenv.step, env_cfg))
     T, E, N = ppo_cfg.rollout_len, ppo_cfg.num_envs, env_cfg.num_agents
+
+    def env_step(es, a):
+        """Physics fault containment: an env whose solver state goes
+        nonfinite is quarantined — marked done (so the alive mask excludes
+        it from losses/RMS and the end-of-update autoreset replaces it)
+        with its trip-step reward zeroed — instead of poisoning GAE for the
+        whole batch (0 * NaN in the masked sums). Counted in the nan_envs
+        metric so residual solver blowups stay VISIBLE in every log."""
+        es, r, done = env_step_raw(es, a)
+        bad = ~(
+            jnp.isfinite(es.cars.hull_c).all(axis=(1, 2))
+            & jnp.isfinite(es.cars.hull_v).all(axis=(1, 2))
+        )
+        es = es.replace(done=es.done | bad)
+        r = jnp.where(bad[:, None], 0.0, r)
+        return es, r, done | bad, bad
 
     def policy(params, obs, key):
         mean, log_std, value = net.apply(params, obs)
@@ -244,8 +264,17 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             # Envs finished earlier in this rollout (no mid-rollout reset)
             # keep stepping; their transitions are garbage — an off-field car
             # pays -100 EVERY subsequent step (env._post_step) — so they are
-            # masked out of rewards here and out of the losses below.
-            alive = ~(env_state.done | (env_state.steps >= max_steps))
+            # masked out of rewards here and out of the losses below. A
+            # nonfinite carry-in state (possible only through external
+            # corruption; the in-rollout quarantine marks trips done) is
+            # excluded the same way.
+            state_ok = (
+                jnp.isfinite(env_state.cars.hull_c).all(axis=(1, 2))
+                & jnp.isfinite(env_state.cars.hull_v).all(axis=(1, 2))
+            )
+            alive = state_ok & ~(
+                env_state.done | (env_state.steps >= max_steps)
+            )
             obs = _observe(env_cfg, ppo_cfg, env_state)          # (E, N, ...)
             a, a_env, logp, value = policy(ts.params, norm(obs), k_act)
             shape_cost = ppo_cfg.train_step_cost
@@ -264,7 +293,7 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             if R == 1:
                 if skip_cost:
                     phi0 = phi(env_state)
-                env_state, r, done = env_step(env_state, a_env)
+                env_state, r, done, bad = env_step(env_state, a_env)
                 r = shaped(r, env_state)
                 if skip_cost:
                     r = r + (ppo_cfg.gamma * phi(env_state) - phi0)
@@ -279,8 +308,8 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                 # ret_snap freezes the cumulative env score at the step the
                 # episode actually finished (for honest return metrics).
                 def rep_body(carry, _):
-                    es, racc, seen_fin, snap, phi_prev = carry
-                    es, r, done = env_step(es, a_env)
+                    es, racc, seen_fin, snap, phi_prev, anybad = carry
+                    es, r, done, bad = env_step(es, a_env)
                     r = shaped(r, es)
                     if skip_cost:
                         phi_new = phi(es)
@@ -290,9 +319,10 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                     racc = racc + r * live[:, None]
                     snap = jnp.where(seen_fin[:, None], snap, es.reward)
                     seen_fin = seen_fin | done | (es.steps >= max_steps)
-                    return (es, racc, seen_fin, snap, phi_prev), None
+                    return (es, racc, seen_fin, snap, phi_prev,
+                            anybad | bad), None
 
-                (env_state, r, fin, ret_snap, _), _ = jax.lax.scan(
+                (env_state, r, fin, ret_snap, _, bad), _ = jax.lax.scan(
                     rep_body,
                     (
                         env_state,
@@ -301,6 +331,7 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                         env_state.reward,
                         phi(env_state) if skip_cost
                         else jnp.zeros((E, N), jnp.float32),
+                        jnp.zeros((E,), bool),
                     ),
                     None, length=R,
                 )
@@ -310,6 +341,7 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                 done=jnp.broadcast_to(done[:, None], (E, N)),
                 fin=fin, ret_snap=ret_snap,
                 alive=jnp.broadcast_to(alive[:, None], (E, N)),
+                nan_env=bad,
             )
             return (env_state, key), trans
 
@@ -347,6 +379,18 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             adv=flat(advs), ret=flat(returns),
             mask=flat(traj["alive"].astype(jnp.float32)),
         )
+        # Zero every masked sample ONCE, wholesale. Masked entries can be
+        # NaN (a quarantined env's post-trip obs/values/advs) or merely
+        # extreme; either way they must never reach the network or the
+        # weighted sums — a zero cotangent does NOT stop NaN from flowing
+        # through the backward of e.g. (action - mean)^2 (0 * NaN = NaN).
+        live_b = batch["mask"] > 0
+        batch = {
+            k: (v if k == "mask" else jnp.where(
+                live_b.reshape(live_b.shape + (1,) * (v.ndim - 1)), v,
+                jnp.zeros((), v.dtype)))
+            for k, v in batch.items()
+        }
         B = T * E * N
         mb = B // ppo_cfg.minibatches
 
@@ -370,7 +414,10 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             # limit in the same rollout NaN'd the whole update.)
             dlogp = jnp.where(live, logp - mbatch["logp"], 0.0)
             ratio = jnp.exp(dlogp)
-            adv = mbatch["adv"]
+            # Masked advs can be NaN (GAE over a quarantined env's post-trip
+            # steps): 0 * NaN in the weighted mean would still poison the
+            # whole minibatch — sanitize them like the other inputs.
+            adv = jnp.where(live, mbatch["adv"], 0.0)
             adv_mu = jnp.sum(adv * w)
             adv_sd = jnp.sqrt(jnp.sum(jnp.square(adv - adv_mu) * w))
             adv = (adv - adv_mu) / (adv_sd + 1e-8)
@@ -407,9 +454,26 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                     params, mbatch
                 )
                 gn = optax.global_norm(grads)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, *aux, gn)
+                # Last line of defense: a nonfinite gradient (however it
+                # arose) must not reach adam — inf/NaN there is permanent
+                # parameter death. Skip the whole minibatch update instead
+                # and count it (skipped_updates metric). Selecting old
+                # params/opt_state keeps the tree structure checkpoint-
+                # compatible (unlike optax.apply_if_finite).
+                ok = jnp.isfinite(gn) & jnp.isfinite(loss)
+                safe = jax.tree_util.tree_map(
+                    lambda g: jnp.where(ok, g, 0.0), grads
+                )
+                updates, new_opt = tx.update(safe, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                params = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(ok, n, o), new_params, params
+                )
+                opt_state = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(ok, n, o), new_opt, opt_state
+                )
+                return (params, opt_state), (loss, *aux, gn,
+                                             1.0 - ok.astype(jnp.float32))
 
             (params, opt_state), stats = jax.lax.scan(
                 mb_body, (params, opt_state), jnp.arange(ppo_cfg.minibatches)
@@ -430,6 +494,7 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
         snap = jnp.take_along_axis(
             traj["ret_snap"], tfirst[None, :, None], axis=0
         )[0]                                                     # (E, N)
+        snap = jnp.where(jnp.isfinite(snap), snap, 0.0)          # quarantined
         n_fin = jnp.sum(finished)
         per_env_ret = snap.mean(-1)                              # (E,)
         ep_return = jnp.where(
@@ -447,6 +512,18 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             if use_rms else None
         )
 
+        if os.environ.get("MCR_PPO_DEBUG_STATS"):
+            # Unreduced (epochs, minibatches) stats for NaN forensics.
+            return (
+                TrainState(
+                    params=params, opt_state=opt_state, env_state=env_state,
+                    pool=ts.pool, key=key, update_i=ts.update_i + 1,
+                    obs_rms=obs_rms,
+                ),
+                dict(stats_loss=stats[0], stats_pg=stats[1],
+                     stats_v=stats[2], stats_dlogp=stats[4],
+                     stats_gn=stats[5]),
+            )
         metrics = dict(
             loss=stats[0].mean(),
             pg_loss=stats[1].mean(),
@@ -454,8 +531,12 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             ratio_dev=stats[3].mean(),
             dlogp_max=stats[4].max(),
             grad_norm_max=stats[5].max(),
+            skipped_updates=stats[6].sum(),
+            nan_envs=traj["nan_env"].max(0).sum().astype(jnp.float32),
             mean_step_reward=traj["reward"].mean(),
-            mean_value=traj["value"].mean(),
+            mean_value=jnp.where(
+                jnp.isfinite(traj["value"]), traj["value"], 0.0
+            ).mean(),
             ep_return=ep_return,
             ep_return_max=ep_return_max,
             episodes_finished=n_fin.astype(jnp.float32),

@@ -9,6 +9,7 @@ rasterizer, plus helpers shared by both.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import config as C
@@ -88,11 +89,13 @@ def state_observation(state: EnvState) -> jnp.ndarray:
     wp_oh = (
         jnp.arange(mt)[None, None, :] == wp_idx[:, :, None]
     ).astype(state.track.xy.dtype)                                # (N, K, MT)
-    wp_xy = jnp.einsum("nkm,md->nkd", wp_oh, state.track.xy)      # (N, K, 2)
+    wp_xy = jnp.einsum("nkm,md->nkd", wp_oh, state.track.xy,
+                       precision=jax.lax.Precision.HIGHEST)     # (N, K, 2)
     wp_rel = wp_xy - origin[:, None, :]
     wp_f = jnp.sum(wp_rel * fwd[:, None, :], axis=-1) / 40.0      # (N, K)
     wp_l = jnp.sum(wp_rel * lat[:, None, :], axis=-1) / 40.0
-    far_beta = jnp.einsum("nm,m->n", wp_oh[:, -1], state.track.beta)
+    far_beta = jnp.einsum("nm,m->n", wp_oh[:, -1], state.track.beta,
+                          precision=jax.lax.Precision.HIGHEST)
     far_err = far_beta + jnp.where(state.direction_cw, jnp.pi, 0.0) - cars.hull_a
 
     f = state.reward.dtype

@@ -129,11 +129,14 @@ def flatten_com(pos_hull_c, pos_hull_a, wheel_c, wheel_a):
 
 def _take_row(arr, i):
     oh = (jnp.arange(arr.shape[0]) == i).astype(arr.dtype)
-    return jnp.tensordot(oh, arr, axes=1)
+    return jnp.tensordot(oh, arr, axes=1,
+                         precision=jax.lax.Precision.HIGHEST)
 
 
 def _max_separation(va, na, vb):
-    d = jnp.einsum("ic,jc->ij", na, vb) - jnp.sum(na * va, axis=-1, keepdims=True)
+    d = jnp.einsum("ic,jc->ij", na, vb,
+                   precision=jax.lax.Precision.HIGHEST) - jnp.sum(
+        na * va, axis=-1, keepdims=True)
     s = jnp.min(d, axis=1)
     edge = jnp.argmax(s).astype(jnp.int32)
     return jnp.max(s), edge
@@ -153,7 +156,10 @@ def _collide_pair(va, na, vb, nb):
     ref_edge = jnp.where(flip, edge_b, edge_a)
 
     rn = _take_row(ref_n, ref_edge)
-    inc_edge = jnp.argmin(jnp.einsum("c,jc->j", rn, inc_n)).astype(jnp.int32)
+    inc_edge = jnp.argmin(
+        jnp.einsum("c,jc->j", rn, inc_n,
+                   precision=jax.lax.Precision.HIGHEST)
+    ).astype(jnp.int32)
 
     i1 = _take_row(inc_v, inc_edge)
     i2 = _take_row(inc_v, jnp.mod(inc_edge + 1, 8))

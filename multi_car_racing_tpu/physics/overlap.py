@@ -48,8 +48,10 @@ def car_fixture_world_geometry(state: CarState):
     rot = jnp.stack(
         [jnp.stack([c, -s], axis=-1), jnp.stack([s, c], axis=-1)], axis=-2
     )                                                            # (N,8,2,2)
-    verts = jnp.einsum("nfij,nfvj->nfvi", rot, local_v[None]) + f_origin[:, :, None, :]
-    normals = jnp.einsum("nfij,nfvj->nfvi", rot, local_n[None])
+    verts = jnp.einsum("nfij,nfvj->nfvi", rot, local_v[None],
+                       precision=jax.lax.Precision.HIGHEST) + f_origin[:, :, None, :]
+    normals = jnp.einsum("nfij,nfvj->nfvi", rot, local_n[None],
+                         precision=jax.lax.Precision.HIGHEST)
     return verts, normals
 
 
@@ -58,8 +60,10 @@ def _interval_gap(axes, averts, bverts):
 
     axes (..., K, 2); averts (..., Va, 2); bverts (..., Vb, 2) — broadcasting
     over leading dims. Returns (..., K)."""
-    pa = jnp.einsum("...kc,...vc->...kv", axes, averts)
-    pb = jnp.einsum("...kc,...vc->...kv", axes, bverts)
+    pa = jnp.einsum("...kc,...vc->...kv", axes, averts,
+                    precision=jax.lax.Precision.HIGHEST)
+    pb = jnp.einsum("...kc,...vc->...kv", axes, bverts,
+                    precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(
         pb.min(-1) - pa.max(-1), pa.min(-1) - pb.max(-1)
     )

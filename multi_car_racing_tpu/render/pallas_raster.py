@@ -168,9 +168,14 @@ def _view_inputs(cfg, state, n):
         ],
         axis=-1,
     )                                                            # (MT, 20)
+    # HIGHEST is load-bearing: cols carries world-space quad vertices
+    # (|x| up to 333); the default MXU precision truncates payloads to bf16
+    # (~1 m -> ~2 obs px of geometry error on TPU). The incidence side (oh)
+    # is 0/1. Runs once per view-step over (N*WS, MT) — cost is noise.
     g = jax.lax.dot_general(
         oh.reshape(-1, mt), cols, (((1,), (0,)), ((), ())),
         preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(n, R.WS, 20)
     tq = to_win(g[..., 0:8].reshape(n, R.WS, 4, 2), 2)           # (N, WS, 4, 2)
     cq = to_win(g[..., 8:16].reshape(n, R.WS, 4, 2), 2)
@@ -208,9 +213,13 @@ def _view_inputs(cfg, state, n):
             (dpos[:, None, :] == jnp.arange(SQ, dtype=i32)[None, :, None])
             & act[:, None, :]
         ).astype(f32)                                            # (N, SQ->j, SQ<-t)
+        # oh2 is a 0/1 permutation; HIGHEST keeps the routed slot payload
+        # (edge coefficients with |k0| up to ~1e6, palette ids) bit-intact
+        # instead of bf16-rounded on TPU.
         quad_slots = jax.lax.dot_general(
             oh2, quad_slots, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                        # (N, SQ, 16)
     else:
         nq = jnp.full_like(nq, SQ)

@@ -221,7 +221,8 @@ def _build_track(t_beta, t_x, t_y, valid, L, max_tiles: int, dtype=jnp.float32):
     ln = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
     nrm = jnp.where(ln > 1e-12, nrm / jnp.maximum(ln, 1e-12),
                     jnp.asarray([1.0, 0.0], dtype))
-    proj = jnp.einsum("tac,tvc->tav", nrm, quad)
+    proj = jnp.einsum("tac,tvc->tav", nrm, quad,
+                      precision=jax.lax.Precision.HIGHEST)
     return Track(
         n_tiles=L.astype(jnp.int32),
         valid=valid,

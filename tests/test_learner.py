@@ -188,3 +188,43 @@ def test_rms_update_mask_excludes_garbage():
     # Unmasked call on the same batch is poisoned — the guard matters.
     bad = ppo._rms_update(rms, batch)
     assert float(np.abs(np.asarray(bad["mean"])).max()) > 1e20
+
+
+def test_nan_env_quarantined():
+    """A physics blowup in ONE env (nonfinite car state) must be contained:
+    the env is marked done and reset, the nan_envs metric counts it, every
+    loss stays finite, and params stay finite. Round-4 regression: before
+    the quarantine, one NaN env poisoned GAE (0 * NaN in the masked sums)
+    and killed the whole 2-agent training run."""
+    env_cfg = C.EnvConfig(num_agents=2, velocity_iters=4, position_iters=2)
+    ppo_cfg = ppo.PPOConfig(
+        rollout_len=4, num_envs=4, pool_size=2, minibatches=2, epochs=1,
+        normalize_obs=True, action_repeat=2,
+        train_grass_cost=0.5, train_skip_cost=2.0,
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    # Poison env 1's hull state with NaN mid-flight.
+    cars = ts.env_state.cars
+    hull_c = cars.hull_c.at[1].set(jnp.nan)
+    hull_v = cars.hull_v.at[1].set(jnp.nan)
+    ts = ts.replace(
+        env_state=ts.env_state.replace(
+            cars=cars.replace(hull_c=hull_c, hull_v=hull_v)
+        )
+    )
+    train_step = jax.jit(ppo.make_train_step(env_cfg, ppo_cfg))
+    ts, metrics = train_step(ts)
+    assert float(metrics["nan_envs"]) >= 1.0
+    for k in ("loss", "pg_loss", "v_loss", "mean_step_reward", "mean_value",
+              "ep_return"):
+        assert np.isfinite(float(metrics[k])), k
+    for leaf in jax.tree_util.tree_leaves(ts.params):
+        assert bool(jnp.isfinite(leaf).all())
+    assert bool(jnp.isfinite(ts.obs_rms["mean"]).all())
+    assert bool(jnp.isfinite(ts.obs_rms["var"]).all())
+    # The autoreset must have replaced the poisoned env with a fresh one.
+    assert bool(jnp.isfinite(ts.env_state.cars.hull_c).all())
+
+    # And a second step from the recovered state stays healthy.
+    ts, metrics = train_step(ts)
+    assert np.isfinite(float(metrics["loss"]))
