@@ -349,9 +349,17 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             rollout_body, (ts.env_state, k_roll), None, length=T
         )
 
-        # Bootstrap + GAE (masked at dones).
+        # Bootstrap + GAE (masked at dones). Values from post-trip NaN obs
+        # (quarantined envs) are zeroed first: nonterm=0 does NOT neutralize
+        # them inside the recursion (0 * NaN = NaN at the trip step, whose
+        # transition IS live) — this is what made the event updates display
+        # a NaN loss (caught by the skip guard) before this sanitization.
         last_obs = _observe(env_cfg, ppo_cfg, env_state)
         _, _, last_value = net.apply(ts.params, norm(last_obs))  # (E, N)
+        last_value = jnp.where(jnp.isfinite(last_value), last_value, 0.0)
+        traj["value"] = jnp.where(
+            jnp.isfinite(traj["value"]), traj["value"], 0.0
+        )
 
         def gae_body(carry, x):
             adv_next, v_next = carry

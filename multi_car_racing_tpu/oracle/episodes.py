@@ -129,6 +129,71 @@ def run_reference_episode(num_agents, seed, gseed, direction=None,
     )
 
 
+def run_reference_replay(num_agents, seed, gseed, actions, direction=None,
+                         max_steps=1000, perturb=0.0):
+    """Replay a recorded action sequence through the REFERENCE itself,
+    optionally nudging car 0's hull x by ``perturb`` meters right after
+    reset. With perturb ~1e-6 this measures the reference's own Lyapunov
+    sensitivity under open-loop replay — the null hypothesis against which
+    engine-vs-reference drift on contact-coupled (N>=2) episodes must be
+    judged (identical seeds, identical actions, the only difference is a
+    sub-micron initial offset)."""
+    from . import shims
+
+    Env, _ = shims.load_reference_env_class()
+    kw = dict(num_agents=num_agents, verbose=0)
+    if direction is not None:
+        kw.update(direction=direction, use_random_direction=False)
+    env = Env(**kw)
+    env.seed(seed)
+    np.random.seed(gseed)
+    env.reset()
+    if perturb:
+        h = env.cars[0].hull
+        h.position = (float(h.position[0]) + perturb, float(h.position[1]))
+
+    rewards = []
+    done_step = max_steps
+    for t in range(min(len(actions), max_steps)):
+        _, r, done, _ = env.step(actions[t])
+        rewards.append(np.asarray(r, np.float64))
+        if done:
+            done_step = t
+            break
+    return dict(
+        rewards=np.array(rewards),
+        done_step=done_step,
+        tiles=list(env.tile_visited_count),
+        n_tiles=len(env.track),
+        direction=env.episode_direction,
+    )
+
+
+def reference_self_divergence(num_agents, seed, gseed, direction=None,
+                              max_steps=1000, perturb=1e-6):
+    """Reference-vs-perturbed-reference drift under open-loop replay of the
+    follower's recorded actions — the chaos floor for compare_episode."""
+    ref = run_reference_episode(num_agents, seed, gseed, direction, max_steps)
+    pert = run_reference_replay(
+        num_agents, seed, gseed, ref["actions"], direction, max_steps,
+        perturb=perturb,
+    )
+    L = min(len(ref["rewards"]), len(pert["rewards"]))
+    a = ref["rewards"][:L]
+    b = pert["rewards"][:L]
+    return dict(
+        num_agents=num_agents, seed=seed, gseed=gseed,
+        direction=ref["direction"], perturb=perturb,
+        ref_done=ref["done_step"], pert_done=pert["done_step"],
+        ref_tiles=ref["tiles"], pert_tiles=pert["tiles"],
+        ref_return=a.sum(0).tolist(), pert_return=b.sum(0).tolist(),
+        total_drift=float(abs(a.sum() - b.sum())),
+        max_step_err_post0=float(np.abs(a - b)[1:].max()) if L > 1 else 0.0,
+        tiles_match=list(ref["tiles"]) == list(pert["tiles"]),
+        steps=L,
+    )
+
+
 def run_engine_episode(num_agents, seed, gseed, actions, direction=None,
                        max_steps=1000):
     """Replay a recorded action sequence through the TPU engine (host-parity
@@ -162,6 +227,60 @@ def run_engine_episode(num_agents, seed, gseed, actions, direction=None,
         tiles=np.asarray(state.tile_visited_count).tolist(),
         n_tiles=int(state.track.n_tiles),
         direction="CW" if bool(state.direction_cw) else "CCW",
+    )
+
+
+def run_engine_episode_closed(num_agents, seed, gseed, direction=None,
+                              max_steps=1000):
+    """Drive the TPU engine CLOSED-LOOP with the same follower policy the
+    reference harness uses (actions recomputed from the engine's own hull
+    states each step). For contact-coupled episodes (N>=2) open-loop replay
+    is dominated by Lyapunov divergence (see reference_self_divergence);
+    the functional parity question is whether the same *policy* earns the
+    same *return distribution* on both engines — this provides the engine
+    side of that comparison."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import config as C, env as tenv, seeding
+
+    kw = dict(num_agents=num_agents)
+    if direction is not None:
+        kw.update(direction=direction, use_random_direction=False)
+    cfg = C.EnvConfig(**kw)
+    gs = seeding.GlobalStream(gseed)
+    state, info = tenv.host_reset(cfg, seed=seed, global_stream=gs)
+    step_fn = jax.jit(partial(tenv.step, cfg))
+
+    track_xy = np.asarray(state.track.xy, np.float64)
+    track_beta = np.asarray(state.track.beta, np.float64)
+    nt = int(state.track.n_tiles)
+    track_xy, track_beta = track_xy[:nt], track_beta[:nt]
+    cw = bool(state.direction_cw)
+
+    rewards = []
+    done_step = max_steps
+    for t in range(max_steps):
+        hulls = [
+            (np.asarray(state.cars.hull_c[i], np.float64),
+             np.asarray(state.cars.hull_v[i], np.float64),
+             float(state.cars.hull_a[i]))
+            for i in range(num_agents)
+        ]
+        a = follower_action(track_xy, track_beta, cw, hulls)
+        state, r, d = step_fn(state, jnp.asarray(a))
+        rewards.append(np.asarray(r, np.float64))
+        if bool(d):
+            done_step = t
+            break
+    return dict(
+        rewards=np.array(rewards),
+        done_step=done_step,
+        tiles=np.asarray(state.tile_visited_count).tolist(),
+        n_tiles=nt,
+        direction="CW" if cw else "CCW",
     )
 
 
