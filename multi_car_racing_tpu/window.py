@@ -1,18 +1,23 @@
-"""Interactive pixel window for ``render('human')``.
+"""Interactive pixel window(s) for ``render('human')``.
 
-The reference opens one 1000x800 pyglet window per agent and flips the GL
-framebuffer every render call, returning each window's ``isopen``
+The reference opens one 1000x800 pyglet window PER AGENT, captioned
+"Car {id}", and flips the GL framebuffer every render call, returning each
+window's ``isopen``
 (/root/reference/gym_multi_car_racing/multi_car_racing.py:529-536,595-597);
 the demo loop gates on ``env.render().all()`` (mcr:735).
 
-TPU hosts are headless, so windowing is best-effort: when a display exists
-(`$DISPLAY`/`$WAYLAND_DISPLAY`, or ``MCR_FORCE_WINDOW=1`` to force SDL's
-default driver), ``render('human')`` shows the per-agent rgb_array views
-tiled side by side in ONE SDL window (pygame supports a single window per
-process — documented divergence from the reference's N windows) and returns
-per-agent ``isopen`` bools like the reference. Headless, it falls back to
-returning the frames themselves (the round-1 behavior, which `tui.py` uses
-for terminal play).
+TPU hosts are headless, so windowing is best-effort, in order:
+
+1. **Per-agent OS windows** via pygame's SDL2 window API
+   (``pygame._sdl2.video.Window``) — one window per agent, reference
+   captions, per-window close tracking. This matches the reference's
+   multi-window behavior.
+2. If the SDL2 window API is unavailable, ONE classic pygame window tiling
+   the agent views side by side (documented divergence).
+3. Headless (no ``$DISPLAY``/``$WAYLAND_DISPLAY``), the facade falls back
+   to returning the frames themselves (the behavior ``tui.py`` uses for
+   terminal play). ``MCR_FORCE_WINDOW=1`` forces SDL's default driver
+   (``SDL_VIDEODRIVER=dummy`` exercises the window path in CI).
 """
 
 from __future__ import annotations
@@ -30,22 +35,65 @@ def display_available() -> bool:
     )
 
 
+class _AgentWindow:
+    """One SDL2 window + renderer + streaming texture for one agent."""
+
+    def __init__(self, pygame, idx: int, w: int, h: int):
+        from pygame._sdl2 import video
+
+        self._video = video
+        self.window = video.Window(f"Car {idx}", size=(w, h))
+        self.renderer = video.Renderer(self.window)
+        self.isopen = True
+        self._size = (w, h)
+        self._win_id = self.window.id
+
+    def show(self, pygame, frame: np.ndarray):
+        if not self.isopen:
+            return False
+        surf = pygame.surfarray.make_surface(frame.swapaxes(0, 1))
+        tex = self._video.Texture.from_surface(self.renderer, surf)
+        self.renderer.clear()
+        tex.draw(dstrect=(0, 0, *self._size))
+        self.renderer.present()
+        return True
+
+    def close(self):
+        if self.isopen:
+            try:
+                self.window.destroy()
+            except Exception:  # pragma: no cover - driver-dependent
+                pass
+            self.isopen = False
+
+
 class HumanViewer:
-    """One SDL window tiling the per-agent views; tracks isopen."""
+    """Per-agent SDL2 windows (reference behavior); single-window tiling
+    fallback. ``show`` returns per-agent isopen bools."""
 
     def __init__(self, caption: str = "MultiCarRacing"):
-        self._screen = None
         self._caption = caption
+        self._pygame = None
+        self._windows = None      # list[_AgentWindow] | None
+        self._screen = None       # single-window fallback surface
         self.isopen = True
 
-    def _ensure(self, w: int, h: int):
+    def _ensure(self, frames):
         import pygame
 
-        if self._screen is None:
+        if self._pygame is None:
             pygame.init()
-            pygame.display.set_caption(self._caption)
-            self._screen = pygame.display.set_mode((w, h))
-        return pygame
+            self._pygame = pygame
+            n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+            try:
+                self._windows = [
+                    _AgentWindow(pygame, i, w, h) for i in range(n)
+                ]
+            except Exception:  # pragma: no cover - SDL2 API unavailable
+                self._windows = None
+                pygame.display.set_caption(self._caption)
+                self._screen = pygame.display.set_mode((n * w, h))
+        return self._pygame
 
     def show(self, frames) -> np.ndarray:
         """frames: (N, H, W, 3) uint8. Returns (N,) isopen bools."""
@@ -53,10 +101,27 @@ class HumanViewer:
         n = frames.shape[0]
         if not self.isopen:
             return np.zeros((n,), dtype=bool)
-        tiled = np.concatenate(list(frames), axis=1)  # (H, N*W, 3)
         try:
-            pygame = self._ensure(tiled.shape[1], tiled.shape[0])
-            # pygame surfaces are (W, H) with x-major layout.
+            pygame = self._ensure(frames)
+            if self._windows is not None:
+                for ev in pygame.event.get():
+                    if ev.type == pygame.QUIT:
+                        self.close()
+                    elif ev.type == pygame.WINDOWCLOSE:
+                        wid = getattr(ev, "window", None)
+                        wid = getattr(wid, "id", None)
+                        for aw in self._windows:
+                            if wid is None or aw._win_id == wid:
+                                aw.close()
+                open_flags = np.array(
+                    [aw.show(pygame, frames[i])
+                     for i, aw in enumerate(self._windows)]
+                )
+                if not open_flags.any():
+                    self.close()
+                return open_flags
+            # single-window tiling fallback
+            tiled = np.concatenate(list(frames), axis=1)  # (H, N*W, 3)
             surf = pygame.surfarray.make_surface(tiled.swapaxes(0, 1))
             self._screen.blit(surf, (0, 0))
             pygame.display.flip()
@@ -68,13 +133,16 @@ class HumanViewer:
         return np.full((n,), self.isopen, dtype=bool)
 
     def close(self):
-        if self._screen is not None:
+        if self._windows is not None:
+            for aw in self._windows:
+                aw.close()
+            self._windows = None
+        if self._pygame is not None:
             try:
-                import pygame
-
-                pygame.display.quit()
-                pygame.quit()
+                self._pygame.display.quit()
+                self._pygame.quit()
             except Exception:  # pragma: no cover
                 pass
+            self._pygame = None
             self._screen = None
         self.isopen = False

@@ -77,3 +77,29 @@ def test_render_human_headless_returns_frames(monkeypatch):
     out = env.render("human")
     assert out.shape[0] == 1 and out.dtype == np.uint8
     env.close()
+
+
+def test_human_render_per_agent_windows(monkeypatch):
+    import pytest
+    """render('human') opens one window PER AGENT with the reference's
+    captions (mcr:529-536) and returns per-agent isopen bools (mcr:595-597).
+    SDL's dummy driver exercises the real window path headlessly."""
+    monkeypatch.setenv("SDL_VIDEODRIVER", "dummy")
+    monkeypatch.setenv("MCR_FORCE_WINDOW", "1")
+    pygame = pytest.importorskip("pygame")
+    pytest.importorskip("pygame._sdl2.video")
+
+    import multi_car_racing_tpu as mcr
+
+    env = mcr.make("MultiCarRacing-v0", num_agents=2, verbose=0)
+    env.seed(3)
+    env.reset()
+    out = env.render("human")
+    assert out.shape == (2,) and out.dtype == bool and out.all()
+    viewer = env._viewer
+    assert viewer is not None and viewer._windows is not None
+    assert len(viewer._windows) == 2
+    assert viewer._windows[0].window.title == "Car 0"
+    assert viewer._windows[1].window.title == "Car 1"
+    env.close()
+    assert not viewer.isopen
