@@ -64,6 +64,14 @@ class PPOConfig:
     # for reward by the reference) priced into the learner's signal keeps
     # the racing line on asphalt; evaluation stays on the real env return.
     train_grass_cost: float = 0.0
+    # KL early stopping (0 disables): once the mean approximate KL between
+    # the rollout policy and the updated policy exceeds this target, the
+    # REMAINING minibatch updates of the train step are skipped (the scan
+    # can't break, so they become no-ops). The round-4 pixel run collapsed
+    # exactly this way: dlogp_max ~25 / grad norms ~3000 through the shared
+    # CNN torso wrecked a policy that was at +686 mean return. Standard
+    # spinning-up-style trust-region proxy.
+    kl_target: float = 0.0
     # Training-only potential-based shaping on SKIPPED tiles (the direct
     # price of chicane-cutting): potential phi(s) = -c * skipped(s), where
     # skipped = unvisited valid tiles minus the largest circular unvisited
@@ -445,17 +453,20 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             )
             ent = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1).mean()
             loss = pg + ppo_cfg.vf_coef * v_loss - ppo_cfg.ent_coef * ent
+            # k3 approximate KL (Schulman): E[(r - 1) - log r] >= 0; dead
+            # samples contribute exactly 0 (dlogp zeroed, ratio 1).
+            approx_kl = jnp.sum((ratio - 1.0 - dlogp) * w)
             return loss, (
                 pg, v_loss, jnp.sum(jnp.abs(ratio - 1) * w),
-                jnp.max(jnp.abs(dlogp)),
+                jnp.max(jnp.abs(dlogp)), approx_kl,
             )
 
         def epoch_body(carry, k_ep):
-            params, opt_state = carry
+            params, opt_state, stopped = carry
             perm = jax.random.permutation(k_ep, B)
 
             def mb_body(carry, mb_i):
-                params, opt_state = carry
+                params, opt_state, stopped = carry
                 idx = jax.lax.dynamic_slice_in_dim(perm, mb_i * mb, mb)
                 mbatch = {k: v[idx] for k, v in batch.items()}
                 (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -467,8 +478,10 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                 # parameter death. Skip the whole minibatch update instead
                 # and count it (skipped_updates metric). Selecting old
                 # params/opt_state keeps the tree structure checkpoint-
-                # compatible (unlike optax.apply_if_finite).
-                ok = jnp.isfinite(gn) & jnp.isfinite(loss)
+                # compatible (unlike optax.apply_if_finite). The same
+                # mechanism implements KL early stopping: once approx KL
+                # crosses kl_target, the remaining minibatches are no-ops.
+                ok = jnp.isfinite(gn) & jnp.isfinite(loss) & ~stopped
                 safe = jax.tree_util.tree_map(
                     lambda g: jnp.where(ok, g, 0.0), grads
                 )
@@ -480,17 +493,23 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                 opt_state = jax.tree_util.tree_map(
                     lambda n, o: jnp.where(ok, n, o), new_opt, opt_state
                 )
-                return (params, opt_state), (loss, *aux, gn,
-                                             1.0 - ok.astype(jnp.float32))
+                if ppo_cfg.kl_target > 0:
+                    stopped = stopped | (aux[-1] > ppo_cfg.kl_target)
+                return (params, opt_state, stopped), (
+                    loss, *aux, gn, 1.0 - ok.astype(jnp.float32)
+                )
 
-            (params, opt_state), stats = jax.lax.scan(
-                mb_body, (params, opt_state), jnp.arange(ppo_cfg.minibatches)
+            (params, opt_state, stopped), stats = jax.lax.scan(
+                mb_body, (params, opt_state, stopped),
+                jnp.arange(ppo_cfg.minibatches),
             )
-            return (params, opt_state), stats
+            return (params, opt_state, stopped), stats
 
         ep_keys = jax.random.split(k_perm, ppo_cfg.epochs)
-        (params, opt_state), stats = jax.lax.scan(
-            epoch_body, (ts.params, ts.opt_state), ep_keys
+        (params, opt_state, _), stats = jax.lax.scan(
+            epoch_body,
+            (ts.params, ts.opt_state, jnp.asarray(False)),
+            ep_keys,
         )
 
         # Episode returns: the cumulative env score snapshotted at the step
@@ -530,7 +549,7 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                 ),
                 dict(stats_loss=stats[0], stats_pg=stats[1],
                      stats_v=stats[2], stats_dlogp=stats[4],
-                     stats_gn=stats[5]),
+                     stats_kl=stats[5], stats_gn=stats[6]),
             )
         metrics = dict(
             loss=stats[0].mean(),
@@ -538,8 +557,9 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             v_loss=stats[2].mean(),
             ratio_dev=stats[3].mean(),
             dlogp_max=stats[4].max(),
-            grad_norm_max=stats[5].max(),
-            skipped_updates=stats[6].sum(),
+            approx_kl_max=stats[5].max(),
+            grad_norm_max=stats[6].max(),
+            skipped_updates=stats[7].sum(),
             nan_envs=traj["nan_env"].max(0).sum().astype(jnp.float32),
             mean_step_reward=traj["reward"].mean(),
             mean_value=jnp.where(

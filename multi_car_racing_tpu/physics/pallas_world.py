@@ -523,10 +523,44 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
         ww[k] = ww[k] + _IB * ang
 
     # ---- velocity iterations.
+    # The joint 3x3 K-matrix, its cofactor rows, and both inverse scales
+    # depend only on (r_ax, r_ay), which are FIXED for the whole velocity
+    # phase — but Mosaic performs no loop-invariant code motion out of a
+    # fori_loop body, so computing them inside joints_once re-paid ~40% of
+    # the joint math 180 times per step. Hoist them here, once.
+    _jc = []
+    for k in range(4):
+        k11 = _MA + _MB + _IA * r_ay[k] * r_ay[k]
+        k12 = -_IA * r_ax[k] * r_ay[k]
+        k22 = _MA + _MB + _IA * r_ax[k] * r_ax[k]
+        ez_x = -_IA * r_ay[k]
+        ez_y = _IA * r_ax[k]
+        ez_z = _IA + _IB
+        cx_ = k22 * ez_z - ez_y * ez_y
+        cy_ = ez_y * ez_x - k12 * ez_z
+        cz_ = k12 * ez_y - k22 * ez_x
+        det = k11 * cx_ + k12 * cy_ + ez_x * cz_
+        inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0)
+        cy2x = ez_x * ez_y - k12 * ez_z
+        cy2y = k11 * ez_z - ez_x * ez_x
+        cy2z = k12 * ez_x - k11 * ez_y
+        cz3x = k12 * ez_y - k22 * ez_x
+        cz3y = k12 * ez_x - k11 * ez_y
+        cz3z = k11 * k22 - k12 * k12
+        det22 = k11 * k22 - k12 * k12
+        inv22 = jnp.where(det22 != 0.0, 1.0 / det22, 0.0)
+        _jc.append(dict(
+            k11=k11, k12=k12, k22=k22, ez_x=ez_x, ez_y=ez_y,
+            cx_=cx_, cy_=cy_, cz_=cz_, inv_det=inv_det,
+            cy2x=cy2x, cy2y=cy2y, cy2z=cy2z,
+            cz3x=cz3x, cz3y=cz3y, cz3z=cz3z, inv22=inv22,
+        ))
+
     def joints_once(hvx, hvy, hw, wvx, wvy, ww, jix, jiy, jiz, mimp):
         wvx, wvy, ww = list(wvx), list(wvy), list(ww)
         jix, jiy, jiz, mimp = list(jix), list(jiy), list(jiz), list(mimp)
         for k in range(4):
+            c = _jc[k]
             # motor
             cdot = ww[k] - hw - mspeed[k]
             new = jnp.clip(mimp[k] - _MOTOR_MASS * cdot, -max_motor, max_motor)
@@ -538,33 +572,18 @@ def _solve_core(N, velocity_iters, position_iters, k_vel_c, k_pos_c, dt,
             bx = wvx[k] - hvx + hw * r_ay[k]
             by = wvy[k] - hvy - hw * r_ax[k]
             bz = ww[k] - hw
-            k11 = _MA + _MB + _IA * r_ay[k] * r_ay[k]
-            k12 = -_IA * r_ax[k] * r_ay[k]
-            k22 = _MA + _MB + _IA * r_ax[k] * r_ax[k]
-            ez_x = -_IA * r_ay[k]
-            ez_y = _IA * r_ax[k]
-            ez_z = _IA + _IB
-            cx_ = k22 * ez_z - ez_y * ez_y
-            cy_ = ez_y * ez_x - k12 * ez_z
-            cz_ = k12 * ez_y - k22 * ez_x
-            det = k11 * cx_ + k12 * cy_ + ez_x * cz_
-            inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0)
-            ix = -inv_det * (bx * cx_ + by * cy_ + bz * cz_)
-            cy2x = ez_x * ez_y - k12 * ez_z
-            cy2y = k11 * ez_z - ez_x * ez_x
-            cy2z = k12 * ez_x - k11 * ez_y
-            iy = -inv_det * (bx * cy2x + by * cy2y + bz * cy2z)
-            cz3x = k12 * ez_y - k22 * ez_x
-            cz3y = k12 * ez_x - k11 * ez_y
-            cz3z = k11 * k22 - k12 * k12
-            iz = -inv_det * (bx * cz3x + by * cz3y + bz * cz3z)
+            k11, k12, k22 = c["k11"], c["k12"], c["k22"]
+            ez_x, ez_y = c["ez_x"], c["ez_y"]
+            inv_det = c["inv_det"]
+            ix = -inv_det * (bx * c["cx_"] + by * c["cy_"] + bz * c["cz_"])
+            iy = -inv_det * (bx * c["cy2x"] + by * c["cy2y"] + bz * c["cy2z"])
+            iz = -inv_det * (bx * c["cz3x"] + by * c["cz3y"] + bz * c["cz3z"])
 
             new_z = jiz[k] + iz
             clampdown = ((ls[k] == 1) & (new_z < 0.0)) | (
                 (ls[k] == 2) & (new_z > 0.0)
             )
-            det22 = k11 * k22 - k12 * k12
-            inv22 = jnp.where(det22 != 0.0, 1.0 / det22, 0.0)
+            inv22 = c["inv22"]
             rhs_x = -bx + jiz[k] * ez_x
             rhs_y = -by + jiz[k] * ez_y
             red_x = inv22 * (k22 * rhs_x - k12 * rhs_y)

@@ -64,6 +64,9 @@ def main():
                          "return)")
     ap.add_argument("--anneal-lr", action="store_true",
                     help="linear lr decay to 0 over --updates")
+    ap.add_argument("--kl-target", type=float, default=0.0,
+                    help="approx-KL early stop for the minibatch loop "
+                         "(0 disables)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log", default=None, help="JSONL metrics path")
     ap.add_argument("--checkpoint", default=None, help="save path (every --ckpt-every)")
@@ -119,6 +122,7 @@ def main():
         gamma=args.gamma, ent_coef=args.ent_coef,
         action_repeat=args.action_repeat, normalize_obs=args.normalize_obs,
         anneal_lr=args.anneal_lr, total_updates=args.updates,
+        kl_target=args.kl_target,
         width=args.width, train_step_cost=args.train_step_cost,
         train_grass_cost=args.train_grass_cost,
         train_skip_cost=args.train_skip_cost,
