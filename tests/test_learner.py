@@ -228,3 +228,23 @@ def test_nan_env_quarantined():
     # And a second step from the recovered state stays healthy.
     ts, metrics = train_step(ts)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_kl_early_stop_masks_updates():
+    """With a tiny kl_target every minibatch after the first KL breach must
+    be a no-op and count into skipped_updates; params still move (the first
+    minibatch always applies)."""
+    env_cfg = C.EnvConfig(num_agents=1, velocity_iters=4, position_iters=2)
+    ppo_cfg = ppo.PPOConfig(
+        rollout_len=4, num_envs=4, pool_size=2, minibatches=4, epochs=2,
+        kl_target=1e-9,
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    p0 = jax.tree_util.tree_leaves(ts.params)
+    train_step = jax.jit(ppo.make_train_step(env_cfg, ppo_cfg))
+    ts, metrics = train_step(ts)
+    assert float(metrics["skipped_updates"]) >= 1.0
+    assert float(metrics["skipped_updates"]) < 8.0  # first mb always applies
+    p1 = jax.tree_util.tree_leaves(ts.params)
+    assert any((np.asarray(a) != np.asarray(b)).any() for a, b in zip(p0, p1))
+    assert np.isfinite(float(metrics["loss"]))
