@@ -24,12 +24,18 @@ from .networks import ActorCritic
 from .ppo import PPOConfig, _observe, _rms_normalize
 
 
-def make_eval_fn(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, num_episodes: int):
+def make_eval_fn(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, num_episodes: int,
+                 stochastic: bool = False):
     """Returns eval(params, obs_rms, key) -> dict of (E,...) device arrays.
 
     One batched rollout of ``num_episodes`` independent fresh-track episodes,
     stepped to the 1000-step TimeLimit (done envs are frozen out of the
-    accumulators). Deterministic actions (policy mean). Jit once, reuse.
+    accumulators). Deterministic actions (policy mean) by default;
+    ``stochastic=True`` samples from the trained Gaussian instead — the
+    policy as it actually acts. The two can differ materially: a clipped
+    Gaussian can park an action MEAN at/outside a clip boundary and rely on
+    the noise for the effective control (observed on the pixel policy,
+    docs/PERF.md "Learning from pixels"), so report which one a number is.
     """
     net = ActorCritic(obs_type=ppo_cfg.obs_type, width=ppo_cfg.width)
     env_step = jax.vmap(partial(tenv.step, env_cfg))
@@ -40,16 +46,22 @@ def make_eval_fn(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, num_episodes: int):
     use_rms = ppo_cfg.normalize_obs and ppo_cfg.obs_type == "state"
 
     def eval_fn(params, obs_rms, key):
+        key, k_env = jax.random.split(key)
         env_state = jax.vmap(lambda k: tenv.device_reset(env_cfg, k))(
-            jax.random.split(key, E)
+            jax.random.split(k_env, E)
         )
 
         def policy_step(carry, _):
-            es, ret, fin, tiles, length = carry
+            es, ret, fin, tiles, length, k = carry
             obs = _observe(env_cfg, ppo_cfg, es)
             if use_rms:
                 obs = _rms_normalize(obs_rms, obs)
-            mean, _, _ = net.apply(params, obs)
+            mean, log_std, _ = net.apply(params, obs)
+            if stochastic:
+                k, k_act = jax.random.split(k)
+                mean = mean + jnp.exp(log_std) * jax.random.normal(
+                    k_act, mean.shape
+                )
             a_env = jnp.stack(
                 [jnp.clip(mean[..., 0], -1, 1), jnp.clip(mean[..., 1], 0, 1),
                  jnp.clip(mean[..., 2], 0, 1)],
@@ -66,10 +78,10 @@ def make_eval_fn(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, num_episodes: int):
                 fin = fin | done | (es.steps >= max_steps)
                 return (es, ret, fin, tiles, length), None
 
-            carry, _ = jax.lax.scan(
+            (es, ret, fin, tiles, length), _ = jax.lax.scan(
                 rep_body, (es, ret, fin, tiles, length), None, length=R
             )
-            return carry, None
+            return (es, ret, fin, tiles, length, k), None
 
         init = (
             env_state,
@@ -77,8 +89,9 @@ def make_eval_fn(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, num_episodes: int):
             jnp.zeros((E,), bool),
             env_state.tile_visited_count,
             jnp.zeros((E,), jnp.int32),
+            key,
         )
-        (es, ret, fin, tiles, length), _ = jax.lax.scan(
+        (es, ret, fin, tiles, length, _), _ = jax.lax.scan(
             policy_step, init, None, length=n_policy_steps
         )
         return dict(
@@ -129,6 +142,9 @@ def main():
     ap.add_argument("--normalize-obs", action="store_true")
     ap.add_argument("--carracing-v0", action="store_true",
                     help="1 agent, fixed CCW direction, no backwards flag")
+    ap.add_argument("--stochastic", action="store_true",
+                    help="sample actions from the trained Gaussian (the "
+                         "policy as it acts) instead of the mean")
     ap.add_argument("--seed", type=int, default=1234)
     args = ap.parse_args()
 
@@ -148,7 +164,8 @@ def main():
     )
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
     ts = checkpoint.restore(args.checkpoint, ts)
-    eval_fn = make_eval_fn(env_cfg, ppo_cfg, args.episodes)
+    eval_fn = make_eval_fn(env_cfg, ppo_cfg, args.episodes,
+                           stochastic=args.stochastic)
     out = eval_fn(ts.params, ts.obs_rms, jax.random.PRNGKey(args.seed))
     print(json.dumps(summarize(out)))
 
