@@ -336,15 +336,20 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
             # at any cap (lax.cond falls back to the full kernel when the
             # broadphase finds more near envs). Default cap = shard/4 for
             # 2-agent batches (measured cap sweep peaked at E/4 with ~20-25%
-            # of envs broadphase-positive under random actions; ~8-13% under
-            # the committed racing policy — docs/PERF.md "Contact
-            # partition"). 4-agent batches measured only ~11-13% near
-            # (scripts/bench_extras.py near4) but the N=4 full kernel is far
-            # costlier (MM=288 manifold rows), so the same E/4 cap clears
-            # the observed near counts with margin. Override with
+            # of envs broadphase-positive under random actions — docs/
+            # PERF.md "Contact partition"). 4-agent batches measure 38%
+            # mean / 51% max near under random actions (scripts/
+            # bench_extras.py near4), so their default cap is E/2 — the
+            # full N=4 kernel is so much costlier (MM=288 manifold rows)
+            # that halving its batch still pays. Override with
             # MCR_PARTITION_CAP (0 disables).
             shard_e = axis_size // (am.size if am is not None else 1)
-            cap = shard_e // 4 if (n in (2, 4) and shard_e >= 2048) else 0
+            cap = 0
+            if shard_e >= 2048:
+                if n == 2:
+                    cap = shard_e // 4
+                elif n == 4:
+                    cap = shard_e // 2
             cap = int(os.environ.get("MCR_PARTITION_CAP", cap))
 
             def kernel_call(cars, lagged_on_road, contact_state):
