@@ -21,6 +21,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite compiles many large programs
 # (180-iteration solvers, rasterizers); caching makes repeat runs fast.
-_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+# CPU-ONLY cache dir: the shared .jax_cache also receives XLA:CPU
+# artifacts AOT-compiled by the axon remote-compile service for a
+# DIFFERENT machine (avx512fp16/amx feature set); loading those on this
+# host intermittently SIGSEGVs/SIGILLs CPU test workers. Keep the CPU
+# cache separate.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -21,7 +21,7 @@ import time
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", ".jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, ".")
