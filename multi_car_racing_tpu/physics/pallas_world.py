@@ -914,7 +914,7 @@ def _make_solve_kernel(num_cars, velocity_iters, position_iters,
     return kernel
 
 
-def near_flags(cars, num_cars: int) -> jnp.ndarray:
+def near_flags(cars, num_cars: int, per_pair: bool = False) -> jnp.ndarray:
     """Per-env broadphase (XLA): could ANY car pair produce a contact?
 
     AABB test per colliding fixture-body combination (hull-hull,
@@ -924,7 +924,10 @@ def near_flags(cars, num_cars: int) -> jnp.ndarray:
     sub-pass is an algebraic no-op for that pair. Mirrors Box2D's
     AABB-tree broadphase semantics (SURVEY §2.10).
 
-    cars: batched CarState (E, N, ...). Returns (E,) bool."""
+    cars: batched CarState (E, N, ...). Returns (E,) bool; with
+    ``per_pair=True`` instead returns (E, P) bool over
+    ``collide.car_pairs(n)`` order — used to size the prospective
+    PAIR-level manifold partition (scripts/bench_extras.py nearpairs)."""
     n = num_cars
     s, c = jnp.sin(cars.hull_a), jnp.cos(cars.hull_a)          # (E, N)
     ac, as_ = jnp.abs(c), jnp.abs(s)
@@ -947,6 +950,7 @@ def near_flags(cars, num_cars: int) -> jnp.ndarray:
         )
 
     near = None
+    pair_flags = []
     for (a, b) in collide.car_pairs(n):
         hits = [overlap(hull_cx[:, a], hull_cy[:, a], hull_hx[:, a],
                         hull_hy[:, a], hull_cx[:, b], hull_cy[:, b],
@@ -958,8 +962,13 @@ def near_flags(cars, num_cars: int) -> jnp.ndarray:
             hits.append(overlap(wx[:, a, k], wy[:, a, k], whx[:, a, k],
                                 why[:, a, k], hull_cx[:, b], hull_cy[:, b],
                                 hull_hx[:, b], hull_hy[:, b]))
-        for h in hits:
-            near = h if near is None else near | h
+        p = hits[0]
+        for h in hits[1:]:
+            p = p | h
+        pair_flags.append(p)
+        near = p if near is None else near | p
+    if per_pair:
+        return jnp.stack(pair_flags, axis=-1)                   # (E, P)
     return near
 
 

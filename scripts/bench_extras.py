@@ -184,5 +184,45 @@ def goldentpu():
     print("goldentpu:", "all identical" if not fails else f"{fails} fixtures differ")
 
 
+
+
+def nearpairs():
+    """Pair-level broadphase stats at 4096x4: how many of an env's 6 car
+    pairs are actually near when the env-level broadphase fires — sizes
+    the prospective PAIR-level manifold partition (docs/PERF.md N=4
+    notes). Appended to the file-level command table."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_car_racing_tpu import config as C, env as tenv
+    from multi_car_racing_tpu.physics import pallas_world
+
+    E, N, T = 4096, 4, 200
+    cfg = C.EnvConfig(num_agents=N)
+    state = _bench_state(cfg, E)
+    step = jax.jit(jax.vmap(partial(tenv.step, cfg)))
+    rng = np.random.RandomState(0)
+    acts = jnp.asarray(
+        rng.uniform([-1, 0, 0], [1, 1, 0.2], size=(8, E, N, 3)), jnp.float32
+    )
+    rows = []
+    for t in range(T):
+        state, _, _ = step(state, acts[t % 8])
+        if t % 20 == 19:
+            pp = np.asarray(pallas_world.near_flags(state.cars, N,
+                                                    per_pair=True))
+            env_near = pp.any(-1)
+            pairs_in_near = pp[env_near].sum(-1)
+            rows.append((env_near.mean(), pp.mean(),
+                         pairs_in_near.mean() if env_near.any() else 0.0))
+            print(f"t={t+1}: env-near {rows[-1][0]:.3f}, pair-near "
+                  f"{rows[-1][1]:.3f}, pairs/near-env {rows[-1][2]:.2f}",
+                  flush=True)
+    a = np.array(rows)
+    print(f"nearpairs: env-near {a[:,0].mean():.3f}, pair-near "
+          f"{a[:,1].mean():.3f} of 6, mean near-pairs per near env "
+          f"{a[:,2].mean():.2f}")
+
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()
