@@ -21,7 +21,7 @@ import numpy as np
 from .. import config as Cfg
 from .. import env as tenv
 from .networks import ActorCritic
-from .ppo import PPOConfig, _observe, _rms_normalize
+from .ppo import PPOConfig, _observe, _rms_normalize, squash_env_action
 
 
 def make_eval_fn(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, num_episodes: int,
@@ -62,11 +62,15 @@ def make_eval_fn(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, num_episodes: int,
                 mean = mean + jnp.exp(log_std) * jax.random.normal(
                     k_act, mean.shape
                 )
-            a_env = jnp.stack(
-                [jnp.clip(mean[..., 0], -1, 1), jnp.clip(mean[..., 1], 0, 1),
-                 jnp.clip(mean[..., 2], 0, 1)],
-                axis=-1,
-            )
+            if ppo_cfg.squash_actions:
+                a_env = squash_env_action(mean)
+            else:
+                a_env = jnp.stack(
+                    [jnp.clip(mean[..., 0], -1, 1),
+                     jnp.clip(mean[..., 1], 0, 1),
+                     jnp.clip(mean[..., 2], 0, 1)],
+                    axis=-1,
+                )
 
             def rep_body(carry, _):
                 es, ret, fin, tiles, length = carry
@@ -145,6 +149,9 @@ def main():
     ap.add_argument("--stochastic", action="store_true",
                     help="sample actions from the trained Gaussian (the "
                          "policy as it acts) instead of the mean")
+    ap.add_argument("--squash-actions", action="store_true",
+                    help="checkpoint was trained with the tanh-squashed "
+                         "action head")
     ap.add_argument("--seed", type=int, default=1234)
     args = ap.parse_args()
 
@@ -160,7 +167,7 @@ def main():
     ppo_cfg = PPOConfig(
         num_envs=args.episodes, obs_type=args.obs,
         action_repeat=args.action_repeat, normalize_obs=args.normalize_obs,
-        width=args.width,
+        width=args.width, squash_actions=args.squash_actions,
     )
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
     ts = checkpoint.restore(args.checkpoint, ts)

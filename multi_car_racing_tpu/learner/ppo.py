@@ -72,6 +72,15 @@ class PPOConfig:
     # CNN torso wrecked a policy that was at +686 mean return. Standard
     # spinning-up-style trust-region proxy.
     kl_target: float = 0.0
+    # Squashed (tanh) action head: sample u ~ N(mean, std) and map
+    # a = [tanh(u0), (tanh(u1)+1)/2, (tanh(u2)+1)/2] with the exact
+    # log-det correction, instead of clipping the raw Gaussian into the
+    # action box. Fixes the clip pathology where the MEAN drifts to/past a
+    # boundary and the policy's deterministic behavior decouples from its
+    # sampled behavior (observed on the pixel policy: deterministic eval
+    # degraded under any further training while sampled returns held —
+    # docs/PERF.md "Learning from pixels").
+    squash_actions: bool = False
     # Training-only potential-based shaping on SKIPPED tiles (the direct
     # price of chicane-cutting): potential phi(s) = -c * skipped(s), where
     # skipped = unvisited valid tiles minus the largest circular unvisited
@@ -219,6 +228,28 @@ def _logp_gauss(mean, log_std, a):
     )
 
 
+def squash_env_action(u):
+    """Pre-squash sample u -> env action box (steer [-1,1], gas/brake
+    [0,1]) via tanh + affine."""
+    t = jnp.tanh(u)
+    return jnp.stack(
+        [t[..., 0], 0.5 * (t[..., 1] + 1.0), 0.5 * (t[..., 2] + 1.0)],
+        axis=-1,
+    )
+
+
+def _logp_squashed(mean, log_std, u):
+    """log pi(a) for a = affine(tanh(u)), u the stored pre-squash sample.
+
+    log(1 - tanh(u)^2) computed stably as 2*(log 2 - u - softplus(-2u));
+    the affine 1/2 scales on gas/brake add a constant log-det that cancels
+    in PPO ratios and is omitted."""
+    corr = jnp.sum(
+        2.0 * (jnp.log(2.0) - u - jax.nn.softplus(-2.0 * u)), axis=-1
+    )
+    return _logp_gauss(mean, log_std, u) - corr
+
+
 def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
     """Returns train_step(ts) -> (ts, metrics); jit (and shard) at call site."""
     assert ppo_cfg.action_repeat >= 1, "action_repeat must be >= 1"
@@ -246,12 +277,16 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
     def policy(params, obs, key):
         mean, log_std, value = net.apply(params, obs)
         a = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
-        logp = _logp_gauss(mean, log_std, a)
-        a_env = jnp.stack(
-            [jnp.clip(a[..., 0], -1, 1), jnp.clip(a[..., 1], 0, 1),
-             jnp.clip(a[..., 2], 0, 1)],
-            axis=-1,
-        )
+        if ppo_cfg.squash_actions:
+            logp = _logp_squashed(mean, log_std, a)
+            a_env = squash_env_action(a)
+        else:
+            logp = _logp_gauss(mean, log_std, a)
+            a_env = jnp.stack(
+                [jnp.clip(a[..., 0], -1, 1), jnp.clip(a[..., 1], 0, 1),
+                 jnp.clip(a[..., 2], 0, 1)],
+                axis=-1,
+            )
         return a, a_env, logp, value
 
     use_rms = ppo_cfg.normalize_obs and ppo_cfg.obs_type == "state"
@@ -421,7 +456,11 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             obs_live = live.reshape(live.shape + (1,) * (mbatch["obs"].ndim - 1))
             obs_safe = jnp.where(obs_live, mbatch["obs"], 0)
             mean, log_std, value = net.apply(params, norm(obs_safe))
-            logp = _logp_gauss(mean, log_std, mbatch["action"])
+            logp = (
+                _logp_squashed(mean, log_std, mbatch["action"])
+                if ppo_cfg.squash_actions
+                else _logp_gauss(mean, log_std, mbatch["action"])
+            )
             # Masked samples are garbage (an off-field car drifts until the
             # end-of-update autoreset, so its obs are extreme): exp() or the
             # squared value error can overflow to inf there, and inf * w=0 is

@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--kl-target", type=float, default=0.0,
                     help="approx-KL early stop for the minibatch loop "
                          "(0 disables)")
+    ap.add_argument("--squash-actions", action="store_true",
+                    help="tanh-squashed action head (exact log-det) "
+                         "instead of clipping the raw Gaussian")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log", default=None, help="JSONL metrics path")
     ap.add_argument("--checkpoint", default=None, help="save path (every --ckpt-every)")
@@ -123,6 +126,7 @@ def main():
         action_repeat=args.action_repeat, normalize_obs=args.normalize_obs,
         anneal_lr=args.anneal_lr, total_updates=args.updates,
         kl_target=args.kl_target,
+        squash_actions=args.squash_actions,
         width=args.width, train_step_cost=args.train_step_cost,
         train_grass_cost=args.train_grass_cost,
         train_skip_cost=args.train_skip_cost,

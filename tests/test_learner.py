@@ -248,3 +248,37 @@ def test_kl_early_stop_masks_updates():
     p1 = jax.tree_util.tree_leaves(ts.params)
     assert any((np.asarray(a) != np.asarray(b)).any() for a, b in zip(p0, p1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_squashed_action_head():
+    """--squash-actions: env actions are inside the box by construction,
+    the log-det correction matches the numerical change of variables, and
+    a train step runs finite."""
+    # logp correction vs numerical jacobian for the tanh+affine map.
+    u = jnp.asarray([[0.3, -1.2, 2.0], [0.0, 0.5, -0.7]])
+    mean = jnp.zeros((2, 3))
+    log_std = jnp.full((2, 3), -0.5)
+    lp = ppo._logp_squashed(mean, log_std, u)
+    # d a / d u = diag(s_i * (1 - tanh(u_i)^2)), s = (1, 1/2, 1/2); the
+    # implementation omits the constant log s (cancels in PPO ratios), so
+    # compare against logp_u - sum log(1 - tanh(u)^2).
+    expect = ppo._logp_gauss(mean, log_std, u) - jnp.log(
+        1.0 - jnp.tanh(u) ** 2
+    ).sum(-1)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(expect), rtol=1e-5)
+
+    env_cfg = C.EnvConfig(num_agents=1, velocity_iters=4, position_iters=2)
+    ppo_cfg = ppo.PPOConfig(
+        rollout_len=4, num_envs=4, pool_size=2, minibatches=2, epochs=1,
+        squash_actions=True,
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    train_step = jax.jit(ppo.make_train_step(env_cfg, ppo_cfg))
+    ts, metrics = train_step(ts)
+    assert np.isfinite(float(metrics["loss"]))
+    for leaf in jax.tree_util.tree_leaves(ts.params):
+        assert bool(jnp.isfinite(leaf).all())
+    # squash maps any u into the action box exactly.
+    a = ppo.squash_env_action(jnp.asarray([[5.0, -5.0, 0.1]]))
+    a = np.asarray(a)
+    assert -1 <= a[0, 0] <= 1 and 0 <= a[0, 1] <= 1 and 0 <= a[0, 2] <= 1
