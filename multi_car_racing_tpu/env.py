@@ -345,12 +345,25 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
             # MCR_PARTITION_CAP (0 disables).
             shard_e = axis_size // (am.size if am is not None else 1)
             cap = 0
+            pair_cap = 0
+            coupled_cap = 0
             if shard_e >= 2048:
                 if n == 2:
                     cap = shard_e // 4
-                elif n == 4:
-                    cap = shard_e // 2
+                elif n >= 3:
+                    # PAIR-level partition: only 7.8% of N=4 car pairs are
+                    # broadphase-near under random actions (1.07 per near
+                    # env — scripts/bench_extras.py nearpairs), so routing
+                    # near PAIRS through the 2-car kernel (48 manifold
+                    # rows/slot) beats gathering whole envs through the
+                    # full N-car kernel (P*48 rows). Coupled envs (a car
+                    # in >=2 near pairs) still need the full kernel; they
+                    # are rare, so their sub-batch is small.
+                    pair_cap = shard_e // 2
+                    coupled_cap = max(256, shard_e // 16)
             cap = int(os.environ.get("MCR_PARTITION_CAP", cap))
+            pair_cap = int(os.environ.get("MCR_PAIR_CAP", pair_cap))
+            coupled_cap = int(os.environ.get("MCR_COUPLED_CAP", coupled_cap))
 
             def kernel_call(cars, lagged_on_road, contact_state):
                 new_cars, skid, new_cs = pallas_world.step_physics_batched(
@@ -359,6 +372,8 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
                     position_iters=position_iters,
                     interpret=interpret,
                     partition_cap=cap,
+                    pair_partition_cap=pair_cap,
+                    coupled_cap=coupled_cap,
                 )
                 if n == 1:
                     new_cs = contact_state

@@ -1279,6 +1279,8 @@ def step_physics_batched(
     interpret: bool = False,
     force_no_contacts: bool = False,
     partition_cap: int = 0,
+    pair_partition_cap: int = 0,
+    coupled_cap: int = 0,
 ):
     """Fused tire + Collide + solve (one program per env block).
 
@@ -1299,6 +1301,17 @@ def step_physics_batched(
     are exact either way (Box2D likewise only dispatches
     broadphase-surviving pairs to its narrow phase/solver).
 
+    ``pair_partition_cap`` > 0 (N >= 3 only) enables the finer PAIR-level
+    partition: each broadphase-near car PAIR whose env has no car in two
+    near pairs is routed through the 2-car kernel (48 manifold rows
+    instead of the full P*48), and only envs with COUPLED near pairs (a
+    car shared by >= 2 near pairs, where Gauss-Seidel impulse propagation
+    ties the pairs together) fall back to the compact full-N sub-batch
+    (``coupled_cap`` slots). Exact: a far pair's contact ops are algebraic
+    no-ops, so a vertex-disjoint near pair solves independently of the
+    rest of its env, and the per-car scatter overwrites the joints-only
+    base only for the two cars actually in the pair.
+
     Returns (new CarState, skid (E, N, 4) bool, new collide.ContactState).
     """
     E, N = cars.hull_c.shape[0], num_cars
@@ -1310,6 +1323,13 @@ def step_physics_batched(
         dt=dt, interpret=interpret,
     )
     packed = _pack_inputs(cars, wheel_on_road, contact_state, N, E, mm)
+
+    if (pair_partition_cap and N > 2 and not force_no_contacts
+            and coupled_cap and E > coupled_cap):
+        outs = _pair_partition_step(
+            cars, packed, N, E, mm, pair_partition_cap, coupled_cap, kw
+        )
+        return _unpack_outputs(cars, outs)
 
     if partition_cap and N > 1 and not force_no_contacts and E > partition_cap:
         cap = partition_cap
@@ -1354,6 +1374,119 @@ def step_physics_batched(
             packed, N, E, mm, force_no_contacts=force_no_contacts, **kw
         )
     return _unpack_outputs(cars, outs)
+
+
+def _pair_partition_step(cars, packed, N, E, mm, pcap, ccap, kw):
+    """PAIR-level contact partition (N >= 3).
+
+    Three kernels instead of one: (1) joints-only over all E envs (the
+    base), (2) the 2-car full kernel over up to ``pcap`` compacted near
+    PAIRS (mm2 = mm/P manifold rows per slot — a ~P-fold cut of the
+    dominant per-iteration routing work vs gathering whole envs), (3) the
+    full N-car kernel over up to ``ccap`` COUPLED envs (a car in >= 2
+    near pairs — the only case where pair solves don't separate).
+
+    Exactness argument (mirrors the env partition's): a broadphase-far
+    pair's Collide culls every fixture pair, so its contact sub-passes
+    add exact zeros — a vertex-disjoint near pair (a, b) therefore solves
+    bit-equal to the full kernel restricted to cars {a, b}; the per-car
+    scatter overwrites the base for exactly those cars. Pad slots point
+    at (pair 0, env 0): they write either the joints-only-equal value
+    (pair far), a duplicate of env 0's own slot (pair near, env simple),
+    or are overwritten by the later coupled-env scatter (env coupled).
+    If the broadphase finds more eligible pairs than ``pcap`` or more
+    coupled envs than ``ccap``, a lax.cond falls back to the full kernel
+    on the whole batch — exact either way.
+    """
+    pairs = collide.car_pairs(N)
+    npairs = len(pairs)
+    mm2 = mm // npairs                       # manifold rows per pair (48)
+    pa = jnp.asarray(np.asarray([a for a, _ in pairs]), jnp.int32)
+    pb = jnp.asarray(np.asarray([b for _, b in pairs]), jnp.int32)
+
+    pnear = near_flags(cars, N, per_pair=True)            # (E, P) bool
+    deg = jnp.zeros((E, N), jnp.int32)
+    for pi, (a, b) in enumerate(pairs):
+        f = pnear[:, pi].astype(jnp.int32)
+        deg = deg.at[:, a].add(f).at[:, b].add(f)
+    coupled = jnp.any(deg >= 2, axis=1)                   # (E,)
+    elig = pnear & ~coupled[:, None]                      # (E, P)
+    n_elig = jnp.sum(elig)
+    n_coup = jnp.sum(coupled)
+
+    def fast(packed):
+        all_out = _call_packed(packed, N, E, mm, force_no_contacts=True, **kw)
+
+        # --- (2) pair sub-batch through the 2-car kernel.
+        flags = jnp.reshape(jnp.transpose(elig), (-1,))   # (P*E,) p*E + e
+        pos = jnp.cumsum(flags) - 1
+        slot = jnp.where(flags, pos, pcap).astype(jnp.int32)
+        sub = jnp.zeros((pcap,), jnp.int32).at[slot].set(
+            jnp.arange(npairs * E, dtype=jnp.int32), mode="drop"
+        )
+        p_s, e_s = sub // E, sub % E
+        colAB = jnp.concatenate([pa[p_s] * E + e_s, pb[p_s] * E + e_s])
+        rowflat = jnp.reshape(
+            (p_s[None, :] * mm2 + jnp.arange(mm2, dtype=jnp.int32)[:, None])
+            * E + e_s[None, :],
+            (-1,),
+        )                                                  # (mm2*pcap,)
+
+        def gcar(x):      # (..., N, E) -> (..., 2, pcap)
+            sh = x.shape
+            fl = jnp.reshape(x, sh[:-2] + (sh[-2] * sh[-1],))
+            return jnp.reshape(
+                jnp.take(fl, colAB, axis=-1), sh[:-2] + (2, pcap)
+            )
+
+        def gman(x):      # (c, mm, E) -> (c, mm2, pcap)
+            fl = jnp.reshape(x, (x.shape[0], mm * E))
+            return jnp.reshape(
+                jnp.take(fl, rowflat, axis=-1), (x.shape[0], mm2, pcap)
+            )
+
+        packed2 = tuple(gcar(x) for x in packed[:7]) + (
+            gman(packed[7]), gman(packed[8]),
+        )
+        sub2 = _call_packed(
+            packed2, 2, pcap, mm2, force_no_contacts=False, **kw
+        )
+
+        def scar(full, val):
+            sh = full.shape
+            fl = jnp.reshape(full, sh[:-2] + (sh[-2] * sh[-1],))
+            v = jnp.reshape(val, val.shape[:-2] + (2 * pcap,))
+            return jnp.reshape(fl.at[..., colAB].set(v), sh)
+
+        def sman(full, val):
+            fl = jnp.reshape(full, (full.shape[0], mm * E))
+            v = jnp.reshape(val, (val.shape[0], mm2 * pcap))
+            return jnp.reshape(fl.at[..., rowflat].set(v), full.shape)
+
+        out = [scar(a, b) for a, b in zip(all_out[:6], sub2[:6])]
+        out.append(sman(all_out[6], sub2[6]))
+        out.append(sman(all_out[7], sub2[7]))
+
+        # --- (3) coupled envs through the full N-car kernel.
+        cpos = jnp.cumsum(coupled) - 1
+        cslot = jnp.where(coupled, cpos, ccap).astype(jnp.int32)
+        csub = jnp.zeros((ccap,), jnp.int32).at[cslot].set(
+            jnp.arange(E, dtype=jnp.int32), mode="drop"
+        )
+        sub4 = _call_packed(
+            tuple(x[..., csub] for x in packed), N, ccap, mm,
+            force_no_contacts=False, **kw,
+        )
+        return tuple(
+            a.at[..., csub].set(b) for a, b in zip(out, sub4)
+        )
+
+    def slow(packed):
+        return _call_packed(packed, N, E, mm, force_no_contacts=False, **kw)
+
+    return jax.lax.cond(
+        (n_elig <= pcap) & (n_coup <= ccap), fast, slow, packed
+    )
 
 
 def _pack_inputs(cars, wheel_on_road, contact_state, N, E, mm):

@@ -297,3 +297,122 @@ def test_degenerate_multipoint_contact_converges():
         contacts=bundle)
     d = np.abs(np.asarray(ref_cars.hull_c) - np.asarray(new_cars.hull_c[0]))
     assert d.max() < 0.5, f"hull positions drifted {d.max()} from XLA"
+
+
+def _place_car_y(st, env_i, car_i, ref_car, gap, sign=1):
+    """Rigid-translate car `car_i` of env `env_i` so its world hull AABB
+    sits `gap` metres beyond `ref_car`'s along world +/-y (x centers
+    aligned). AABB x-overlap is total, y-gap = gap: gap < broadphase
+    slack (0.1) makes the pair broadphase-NEAR, while gap > the polygon
+    skin keeps every fixture geometrically separated (hulls/wheels are
+    inside their AABBs) — zero contact points, so the pair's solve is an
+    algebraic no-op. Wheel AABBs can stick ~0.1 m out of the hull AABB in
+    x only, never y, so stacking along y is contact-safe."""
+    import numpy as np
+    cars = st.cars
+    mid = np.asarray(pallas_world._HULL_AABB_MID)
+    half = np.asarray(pallas_world._HULL_AABB_HALF)
+
+    def aabb(ei, ci):
+        a = float(cars.hull_a[ei, ci])
+        c, s = np.cos(a), np.sin(a)
+        cx = float(cars.hull_c[ei, ci, 0]) + c * mid[0] - s * mid[1]
+        cy = float(cars.hull_c[ei, ci, 1]) + s * mid[0] + c * mid[1]
+        hy = abs(s) * half[0] + abs(c) * half[1]
+        return cx, cy, hy
+
+    rx, ry, rhy = aabb(env_i, ref_car)
+    mx, my, mhy = aabb(env_i, car_i)
+    delta = jnp.asarray(
+        [rx - mx, ry + sign * (rhy + mhy + gap) - my], jnp.float32)
+    cars = cars.replace(
+        hull_c=cars.hull_c.at[env_i, car_i].add(delta),
+        wheel_c=cars.wheel_c.at[env_i, car_i].add(delta[None, :]),
+    )
+    return st.replace(cars=cars)
+
+
+def _check_pair_partition(st, N, configs, expect_contact):
+    full = pallas_world.step_physics_batched(
+        st.cars, st.wheel_on_road, st.contacts, N,
+        velocity_iters=VI, position_iters=PI, interpret=True)
+    if expect_contact:
+        assert float(jnp.abs(full[2].normal_imp).max()) > 0.1, "no contact"
+    for pcap, ccap in configs:
+        part = pallas_world.step_physics_batched(
+            st.cars, st.wheel_on_road, st.contacts, N,
+            velocity_iters=VI, position_iters=PI, interpret=True,
+            pair_partition_cap=pcap, coupled_cap=ccap)
+        for f in FIELDS + ("spin", "phase", "fuel_spent"):
+            _assert_close(f, getattr(full[0], f), getattr(part[0], f),
+                          tol=1e-6)
+        assert bool((full[1] == part[1]).all())
+        assert bool((full[2].ids == part[2].ids).all())
+        _assert_close("normal_imp", full[2].normal_imp, part[2].normal_imp,
+                      tol=1e-6)
+        _assert_close("tangent_imp", full[2].tangent_imp,
+                      part[2].tangent_imp, tol=1e-6)
+
+
+def _exile_car(st, env_i, car_i, dx, dy):
+    """Rigid-translate a car to an absolute offset (out of everyone's
+    broadphase range)."""
+    delta = jnp.asarray([dx, dy], jnp.float32)
+    cars = st.cars
+    cars = cars.replace(
+        hull_c=cars.hull_c.at[env_i, car_i].add(delta),
+        wheel_c=cars.wheel_c.at[env_i, car_i].add(delta[None, :]),
+    )
+    return st.replace(cars=cars)
+
+
+def test_pair_partition_routing_exact():
+    """PAIR-level partition (N=4), broadphase-near but geometrically
+    separated placements: simple pairs, a coupled env, disjoint double
+    pairs, a far env — the fast path (joints base + 2-car pair kernel +
+    compact coupled kernel) and both overflow fallbacks must equal the
+    full kernel."""
+    N = 4
+    st = _batched_state(N, 4, steps=3, gas=0.4, steer=0.0)
+    # env0: one near pair (0,1). env1: coupled — car 0 near 1 AND 2.
+    # env2: two vertex-disjoint near pairs (0,1), (2,3). env3: far.
+    # Non-participating cars are exiled to controlled far corners first
+    # (the spawn grid staggers cars along the track, so a car placed next
+    # to another can otherwise land in a third car's broadphase range).
+    st = _exile_car(st, 0, 2, 500.0, 500.0)
+    st = _exile_car(st, 0, 3, -500.0, -500.0)
+    st = _place_car_y(st, 0, 1, 0, 0.05)
+    st = _exile_car(st, 1, 3, 500.0, 500.0)
+    st = _place_car_y(st, 1, 1, 0, 0.05, sign=1)
+    st = _place_car_y(st, 1, 2, 0, 0.05, sign=-1)
+    st = _exile_car(st, 2, 2, 500.0, 500.0)
+    st = _place_car_y(st, 2, 1, 0, 0.05)
+    st = _place_car_y(st, 2, 3, 2, 0.05)
+    pn = np.asarray(pallas_world.near_flags(st.cars, N, per_pair=True))
+    pairs = collide.car_pairs(N)
+    assert pn[0, pairs.index((0, 1))] and pn[0].sum() == 1, pn[0]
+    assert (pn[1, pairs.index((0, 1))] and pn[1, pairs.index((0, 2))]
+            and pn[1].sum() == 2), pn[1]
+    assert (pn[2, pairs.index((0, 1))] and pn[2, pairs.index((2, 3))]
+            and pn[2].sum() == 2), pn[2]
+    assert not pn[3].any(), pn[3]
+    # (pcap, ccap): exact fit; slack; pair overflow; coupled overflow.
+    _check_pair_partition(
+        st, N, [(3, 1), (8, 2), (2, 1), (3, 1)], expect_contact=False)
+
+
+def test_pair_partition_contact_exact():
+    """PAIR-level partition on a REAL contact (the ramming fixture of
+    test_partition_mixed_and_overflow_exact): the touching env's near
+    pair(s) carry nonzero impulses through whichever sub-kernel the
+    classification routes them to, and must match the full kernel."""
+    N = 4
+    touch = _touching_state(N)
+    far = _batched_state(N, 1, steps=3, gas=0.4, steer=0.0)
+    far1 = jax.tree_util.tree_map(lambda x: x[0], far)
+    st = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b, b]), touch, far1
+    )
+    pn = np.asarray(pallas_world.near_flags(st.cars, N, per_pair=True))
+    assert pn[0].any() and not pn[1:].any(), pn
+    _check_pair_partition(st, N, [(6, 1), (1, 1)], expect_contact=True)
