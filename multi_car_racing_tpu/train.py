@@ -75,6 +75,11 @@ def main():
     ap.add_argument("--checkpoint", default=None, help="save path (every --ckpt-every)")
     ap.add_argument("--ckpt-every", type=int, default=10)
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--best-so-far", type=float, default=None,
+                    help="floor for the best-eval checkpoint: on --resume, "
+                         "<checkpoint>_best is only overwritten once an eval "
+                         "beats this (otherwise a resumed run's first eval "
+                         "clobbers a better earlier snapshot)")
     ap.add_argument("--profile", default=None, help="jax.profiler trace dir")
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize() (multi-host)")
@@ -148,7 +153,8 @@ def main():
 
             eval_fn = ev.make_eval_fn(env_cfg, ppo_cfg, args.eval_episodes)
             eval_key = jax.random.PRNGKey(args.seed + 1_000_003)
-            best_eval = -float("inf")
+            best_eval = (-float("inf") if args.best_so_far is None
+                         else args.best_so_far)
 
         logger = metrics.JsonlLogger(args.log)
         steps_per_update = (args.rollout * args.action_repeat

@@ -224,5 +224,62 @@ def nearpairs():
           f"{a[:,2].mean():.2f}")
 
 
+
+
+def satbench():
+    """Time the XLA wheel<->tile SAT sweep and the whole fused track-pass
+    stage in isolation at 4096x2 (chained scan, fresh input, host-read
+    sync) — sizes the headroom of a Pallas SAT kernel vs docs/PERF.md's
+    per-component step breakdown."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_car_racing_tpu import config as C, env as tenv
+    from multi_car_racing_tpu.physics import overlap
+
+    E, N, T = 4096, 2, 100
+    cfg = C.EnvConfig(num_agents=N)
+    state = _bench_state(cfg, E)
+    cars, track = state.cars, state.track
+
+    def time_scan(fn, init):
+        run = jax.jit(lambda c: jax.lax.scan(fn, c, None, length=T)[0])
+        out = run(init)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        out = run(init)
+        _ = float(jax.tree_util.tree_leaves(out)[0].sum())  # host read
+        return (time.time() - t0) / T * 1e3
+
+    def sat_body(c, _):
+        ov = jax.vmap(overlap.wheel_tile_overlap)(c, track)
+        dx = jnp.sum(ov, axis=(1, 2, 3)).astype(jnp.float32) * 1e-9
+        return c.replace(wheel_c=c.wheel_c + dx[:, None, None, None]), ()
+
+    ms = time_scan(sat_body, cars)
+    print(f"satbench: wheel_tile_overlap alone {ms:.3f} ms/step at {E}x{N}")
+
+    tp = tenv._make_track_pass(N, "auto", False)
+
+    def track_body(carry, _):
+        c, visited, touched = carry
+        wor, new_vis, bonus, cnt, new_touch, nearest_beta, on_grass = tp(
+            track, c, c.hull_origin, visited, touched
+        )
+        # chain EVERY output so nothing is dead-code-eliminated
+        dx = (
+            jnp.sum(wor, axis=(1, 2)).astype(jnp.float32)
+            + bonus.sum(-1) + cnt.sum(-1).astype(jnp.float32)
+            + nearest_beta.sum(-1) + on_grass.sum(-1).astype(jnp.float32)
+            + new_touch.sum(-1).astype(jnp.float32)
+        ) * 1e-9
+        return (c.replace(wheel_c=c.wheel_c + dx[:, None, None, None]),
+                new_vis, new_touch), ()
+
+    visited = jnp.zeros((E, N, cfg.max_tiles), bool)
+    touched = jnp.zeros((E, cfg.max_tiles), bool)
+    ms2 = time_scan(track_body, (cars, visited, touched))
+    print(f"satbench: full track-pass stage {ms2:.3f} ms/step")
+
 if __name__ == "__main__":
     globals()[sys.argv[1]]()

@@ -63,7 +63,65 @@ def main():
     assert d.max() < 0.05, (
         f"compiled kernel deviates {d.max()} from interpret — MXU routing "
         "precision regressed (see pallas_world._dot/_dot2)")
+
+    _pair_partition_check()
     print("tpu_checks ok")
+
+
+def _pair_partition_check():
+    """COMPILED pair-level partition (N=4) vs the compiled full kernel on a
+    near-contact fixture: the routing/scatter logic must agree on hardware,
+    not just in the interpreter (tests/test_pallas_world.py covers CPU)."""
+    from functools import partial
+
+    from multi_car_racing_tpu import config as C, env as tenv, seeding
+    from multi_car_racing_tpu.physics import pallas_world
+
+    N, E = 4, 8
+    cfg = C.EnvConfig(num_agents=N, solver="xla")
+    states = [
+        tenv.host_reset(cfg, seed=s, global_stream=seeding.GlobalStream(s))[0]
+        for s in range(E)
+    ]
+    st = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    step = jax.jit(jax.vmap(partial(tenv.step, cfg)))
+    a = jnp.tile(jnp.asarray([[0.1, 0.8, 0.0]], jnp.float32), (E, N, 1))
+    for _ in range(5):
+        st, _, _ = step(st, a)
+    cars = st.cars
+    # Pull car 1 of envs 0..3 next to car 0 (near pair), car 2 of env 1
+    # to car 0's other side (coupled env).
+    for e in range(4):
+        delta = cars.hull_c[e, 0] + jnp.asarray([0.0, 5.05]) - cars.hull_c[e, 1]
+        cars = cars.replace(
+            hull_c=cars.hull_c.at[e, 1].add(delta),
+            wheel_c=cars.wheel_c.at[e, 1].add(delta[None, :]),
+        )
+    delta = cars.hull_c[1, 0] - jnp.asarray([0.0, 5.05]) - cars.hull_c[1, 2]
+    cars = cars.replace(
+        hull_c=cars.hull_c.at[1, 2].add(delta),
+        wheel_c=cars.wheel_c.at[1, 2].add(delta[None, :]),
+    )
+    pn = np.asarray(pallas_world.near_flags(cars, N, per_pair=True))
+    assert pn.any(), "fixture produced no near pairs"
+
+    def run(**kw):
+        return pallas_world.step_physics_batched(
+            cars, st.wheel_on_road, st.contacts, N,
+            velocity_iters=180, position_iters=60, interpret=False, **kw)
+
+    full = run()
+    part = run(pair_partition_cap=4, coupled_cap=2)
+    d = 0.0
+    for f in ("hull_c", "hull_a", "hull_v", "wheel_c", "wheel_v"):
+        a_, b_ = np.asarray(getattr(full[0], f)), np.asarray(getattr(part[0], f))
+        scale = max(1.0, np.abs(a_).max())
+        d = max(d, float(np.abs(a_ - b_).max() / scale))
+    di = float(np.abs(np.asarray(full[2].normal_imp)
+                      - np.asarray(part[2].normal_imp)).max())
+    print(f"pair-partition compiled max rel dev: {d:.2e} (imp {di:.2e})")
+    assert d < 1e-5 and di < 1e-2, (
+        f"compiled pair partition deviates from full kernel: {d} / {di}")
 
 
 if __name__ == "__main__":
