@@ -109,7 +109,29 @@ def restore(path: str, template: Any) -> Any:
         lambda t: np.zeros(t.shape, t.dtype) if hasattr(t, "dtype") else t,
         template,
     )
-    restored = _checkpointer().restore(path, item=item)
+    ck = _checkpointer()
+    try:
+        restored = ck.restore(path, item=item)
+    except ValueError:
+        # Dataclass fields added AFTER this checkpoint was written (e.g.
+        # TrainState.frames, round 5) are absent on disk. That is only a
+        # compatible difference when the template holds None for them:
+        # restore the on-disk subset through a dict item and graft it back.
+        import dataclasses
+
+        if not dataclasses.is_dataclass(item):
+            raise
+        disk_keys = set(ck.metadata(path).item_metadata.keys())
+        flds = [f for f in dataclasses.fields(item)
+                if not f.metadata.get("static", False)]
+        missing = [f.name for f in flds if f.name not in disk_keys]
+        if not missing or any(
+            getattr(template, n) is not None for n in missing
+        ):
+            raise
+        sub = {f.name: getattr(item, f.name) for f in flds
+               if f.name in disk_keys}
+        restored = dataclasses.replace(item, **ck.restore(path, item=sub))
     return jax.tree_util.tree_map(lambda t, r: jax.numpy.asarray(r, t.dtype)
                                   if hasattr(t, "dtype") else r,
                                   template, restored)

@@ -21,7 +21,8 @@ import numpy as np
 from .. import config as Cfg
 from .. import env as tenv
 from .networks import ActorCritic
-from .ppo import PPOConfig, _observe, _rms_normalize, squash_env_action
+from .ppo import (PPOConfig, _observe, _push_frames, _rms_normalize,
+                  _stack_obs, init_frames, squash_env_action)
 
 
 def make_eval_fn(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, num_episodes: int,
@@ -52,8 +53,10 @@ def make_eval_fn(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, num_episodes: int,
         )
 
         def policy_step(carry, _):
-            es, ret, fin, tiles, length, k = carry
-            obs = _observe(env_cfg, ppo_cfg, es)
+            es, frames, ret, fin, tiles, length, k = carry
+            obs_now = _observe(env_cfg, ppo_cfg, es)
+            obs = _stack_obs(frames, obs_now)
+            frames = _push_frames(frames, obs_now)
             if use_rms:
                 obs = _rms_normalize(obs_rms, obs)
             mean, log_std, _ = net.apply(params, obs)
@@ -85,17 +88,18 @@ def make_eval_fn(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, num_episodes: int,
             (es, ret, fin, tiles, length), _ = jax.lax.scan(
                 rep_body, (es, ret, fin, tiles, length), None, length=R
             )
-            return (es, ret, fin, tiles, length, k), None
+            return (es, frames, ret, fin, tiles, length, k), None
 
         init = (
             env_state,
+            init_frames(ppo_cfg, _observe(env_cfg, ppo_cfg, env_state)),
             jnp.zeros((E, N), jnp.float32),
             jnp.zeros((E,), bool),
             env_state.tile_visited_count,
             jnp.zeros((E,), jnp.int32),
             key,
         )
-        (es, ret, fin, tiles, length, _), _ = jax.lax.scan(
+        (es, _, ret, fin, tiles, length, _), _ = jax.lax.scan(
             policy_step, init, None, length=n_policy_steps
         )
         return dict(
@@ -152,6 +156,8 @@ def main():
     ap.add_argument("--squash-actions", action="store_true",
                     help="checkpoint was trained with the tanh-squashed "
                          "action head")
+    ap.add_argument("--frame-stack", type=int, default=1,
+                    help="pixel frame stacking K (must match the checkpoint)")
     ap.add_argument("--seed", type=int, default=1234)
     args = ap.parse_args()
 
@@ -168,6 +174,7 @@ def main():
         num_envs=args.episodes, obs_type=args.obs,
         action_repeat=args.action_repeat, normalize_obs=args.normalize_obs,
         width=args.width, squash_actions=args.squash_actions,
+        frame_stack=args.frame_stack,
     )
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
     ts = checkpoint.restore(args.checkpoint, ts)

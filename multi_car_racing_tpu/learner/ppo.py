@@ -89,6 +89,21 @@ class PPOConfig:
     # moment a tile is passed without being visited, +c when a missed tile
     # is recovered. Evaluation stays on the real env return.
     train_skip_cost: float = 0.0
+    # Pace curriculum: with train_step_cost_start > 0 the extra step cost
+    # ramps in linearly from update `start` over `ramp` updates instead of
+    # applying from scratch (the round-4 diagnosis: the pixel policy's gap
+    # to the 900 bar is lap PACE; pricing time only after basic driving is
+    # learned pushes lap speed without destabilizing early training).
+    train_step_cost_start: int = 0
+    train_step_cost_ramp: int = 1
+    # Frame stacking (pixels only): the policy sees the last K policy-step
+    # frames channel-stacked (96, 96, 3K). K=1 reproduces the single-frame
+    # observation. The reference's observation is one frame (mcr:431) — a
+    # single pixel policy must infer speed from the HUD bar; stacking puts
+    # velocity directly in the observation (round-4 diagnosis: lap pace,
+    # docs/PERF.md "Analysis of the 10-point gap"). Buffers are zero-filled
+    # at episode start (training and eval identically).
+    frame_stack: int = 1
 
 
 @pytree_dataclass
@@ -100,6 +115,7 @@ class TrainState:
     key: jnp.ndarray
     update_i: jnp.ndarray         # () int32
     obs_rms: Any = None           # dict(mean, var, count) | None
+    frames: Any = None            # (E, N, 96, 96, 3*(K-1)) uint8 | None
 
 
 def _rms_init(dim):
@@ -180,6 +196,34 @@ def _observe(env_cfg, ppo_cfg, env_state):
     return tobs.pixel_observation_batched(env_cfg, env_state)
 
 
+def _uses_stack(ppo_cfg):
+    return ppo_cfg.obs_type == "pixels" and ppo_cfg.frame_stack > 1
+
+
+def _stack_obs(frames, cur):
+    """Stacked observation: previous K-1 frames (oldest first) + current."""
+    if frames is None:
+        return cur
+    return jnp.concatenate([frames, cur], axis=-1)
+
+
+def _push_frames(frames, cur):
+    """Shift the stacking buffer: drop the oldest frame, append ``cur``."""
+    if frames is None:
+        return None
+    c = cur.shape[-1]
+    return jnp.concatenate([frames, cur], axis=-1)[..., c:]
+
+
+def init_frames(ppo_cfg: PPOConfig, dummy_obs):
+    """Zero-filled stacking buffer matching ``dummy_obs`` (E, N, H, W, 3)."""
+    if not _uses_stack(ppo_cfg):
+        return None
+    k1 = ppo_cfg.frame_stack - 1
+    shape = dummy_obs.shape[:-1] + (dummy_obs.shape[-1] * k1,)
+    return jnp.zeros(shape, dummy_obs.dtype)
+
+
 def init_train_state(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, key) -> TrainState:
     net = ActorCritic(obs_type=ppo_cfg.obs_type, width=ppo_cfg.width)
     k_pool, k_env, k_par, key = jax.random.split(key, 4)
@@ -187,7 +231,8 @@ def init_train_state(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, key) -> TrainSt
     env_keys = jax.random.split(k_env, ppo_cfg.num_envs)
     env_state = jax.vmap(lambda k: tenv.device_reset(env_cfg, k))(env_keys)
     dummy_obs = _observe(env_cfg, ppo_cfg, env_state)
-    params = net.init(k_par, dummy_obs)
+    frames = init_frames(ppo_cfg, dummy_obs)
+    params = net.init(k_par, _stack_obs(frames, dummy_obs))
     tx = optimizer(ppo_cfg)
     use_rms = ppo_cfg.normalize_obs and ppo_cfg.obs_type == "state"
     return TrainState(
@@ -198,6 +243,7 @@ def init_train_state(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig, key) -> TrainSt
         key=key,
         update_i=jnp.asarray(0, jnp.int32),
         obs_rms=_rms_init(dummy_obs.shape[-1]) if use_rms else None,
+        frames=frames,
     )
 
 
@@ -300,9 +346,20 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             return _rms_normalize(ts.obs_rms, obs) if use_rms else obs
 
         max_steps = env_cfg.max_episode_steps
+        # Pace curriculum (train_step_cost_start > 0): ramp the extra step
+        # cost in linearly from that update. Static float otherwise.
+        if ppo_cfg.train_step_cost and ppo_cfg.train_step_cost_start > 0:
+            frac = jnp.clip(
+                (ts.update_i + 1 - ppo_cfg.train_step_cost_start)
+                / max(ppo_cfg.train_step_cost_ramp, 1),
+                0.0, 1.0,
+            ).astype(jnp.float32)
+            shape_cost = ppo_cfg.train_step_cost * frac
+        else:
+            shape_cost = ppo_cfg.train_step_cost
 
         def rollout_body(carry, _):
-            env_state, key = carry
+            env_state, frames, key = carry
             key, k_act = jax.random.split(key)
             # Envs finished earlier in this rollout (no mid-rollout reset)
             # keep stepping; their transitions are garbage — an off-field car
@@ -318,9 +375,10 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             alive = state_ok & ~(
                 env_state.done | (env_state.steps >= max_steps)
             )
-            obs = _observe(env_cfg, ppo_cfg, env_state)          # (E, N, ...)
+            obs_now = _observe(env_cfg, ppo_cfg, env_state)      # (E, N, ...)
+            obs = _stack_obs(frames, obs_now)
+            frames = _push_frames(frames, obs_now)
             a, a_env, logp, value = policy(ts.params, norm(obs), k_act)
-            shape_cost = ppo_cfg.train_step_cost
             grass_cost = ppo_cfg.train_grass_cost
             skip_cost = ppo_cfg.train_skip_cost
 
@@ -386,10 +444,10 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                 alive=jnp.broadcast_to(alive[:, None], (E, N)),
                 nan_env=bad,
             )
-            return (env_state, key), trans
+            return (env_state, frames, key), trans
 
-        (env_state, _), traj = jax.lax.scan(
-            rollout_body, (ts.env_state, k_roll), None, length=T
+        (env_state, frames, _), traj = jax.lax.scan(
+            rollout_body, (ts.env_state, ts.frames, k_roll), None, length=T
         )
 
         # Bootstrap + GAE (masked at dones). Values from post-trip NaN obs
@@ -397,7 +455,7 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
         # them inside the recursion (0 * NaN = NaN at the trip step, whose
         # transition IS live) — this is what made the event updates display
         # a NaN loss (caught by the skip guard) before this sanitization.
-        last_obs = _observe(env_cfg, ppo_cfg, env_state)
+        last_obs = _stack_obs(frames, _observe(env_cfg, ppo_cfg, env_state))
         _, _, last_value = net.apply(ts.params, norm(last_obs))  # (E, N)
         last_value = jnp.where(jnp.isfinite(last_value), last_value, 0.0)
         traj["value"] = jnp.where(
@@ -572,6 +630,14 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             n_fin > 0, jnp.max(jnp.where(finished, per_env_ret, -jnp.inf)), 0.0
         )
 
+        if frames is not None:
+            # Envs about to be autoreset start their next episode with a
+            # zero-filled stacking buffer (same convention as eval).
+            needs = env_state.done | (env_state.steps >= max_steps)
+            frames = jnp.where(
+                needs.reshape((E,) + (1,) * (frames.ndim - 1)),
+                jnp.zeros((), frames.dtype), frames,
+            )
         env_state = tenv.reset_done_envs(env_cfg, env_state, ts.pool, k_reset)
         obs_rms = (
             _rms_update(ts.obs_rms, traj["obs"], traj["alive"])
@@ -584,7 +650,7 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
                 TrainState(
                     params=params, opt_state=opt_state, env_state=env_state,
                     pool=ts.pool, key=key, update_i=ts.update_i + 1,
-                    obs_rms=obs_rms,
+                    obs_rms=obs_rms, frames=frames,
                 ),
                 dict(stats_loss=stats[0], stats_pg=stats[1],
                      stats_v=stats[2], stats_dlogp=stats[4],
@@ -612,7 +678,7 @@ def make_train_step(env_cfg: Cfg.EnvConfig, ppo_cfg: PPOConfig):
             TrainState(
                 params=params, opt_state=opt_state, env_state=env_state,
                 pool=ts.pool, key=key, update_i=ts.update_i + 1,
-                obs_rms=obs_rms,
+                obs_rms=obs_rms, frames=frames,
             ),
             metrics,
         )

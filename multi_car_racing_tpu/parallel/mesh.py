@@ -78,4 +78,6 @@ def shard_train_state(ts, mesh: Mesh):
         key=jax.device_put(ts.key, sh_rep),
         update_i=jax.device_put(ts.update_i, sh_rep),
         obs_rms=place(ts.obs_rms, sh_rep) if ts.obs_rms is not None else None,
+        frames=(jax.device_put(ts.frames, sh_data)
+                if ts.frames is not None else None),
     )

@@ -70,6 +70,14 @@ def main():
     ap.add_argument("--squash-actions", action="store_true",
                     help="tanh-squashed action head (exact log-det) "
                          "instead of clipping the raw Gaussian")
+    ap.add_argument("--frame-stack", type=int, default=1,
+                    help="stack the last K pixel frames channel-wise "
+                         "(velocity in the observation; pixels only)")
+    ap.add_argument("--step-cost-start", type=int, default=0,
+                    help="update at which --train-step-cost starts ramping "
+                         "in (pace curriculum; 0 = active from scratch)")
+    ap.add_argument("--step-cost-ramp", type=int, default=1,
+                    help="updates over which the step cost ramps to full")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log", default=None, help="JSONL metrics path")
     ap.add_argument("--checkpoint", default=None, help="save path (every --ckpt-every)")
@@ -132,9 +140,12 @@ def main():
         anneal_lr=args.anneal_lr, total_updates=args.updates,
         kl_target=args.kl_target,
         squash_actions=args.squash_actions,
+        frame_stack=args.frame_stack,
         width=args.width, train_step_cost=args.train_step_cost,
         train_grass_cost=args.train_grass_cost,
         train_skip_cost=args.train_skip_cost,
+        train_step_cost_start=args.step_cost_start,
+        train_step_cost_ramp=args.step_cost_ramp,
     )
 
     mesh = pmesh.make_mesh()

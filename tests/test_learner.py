@@ -124,6 +124,54 @@ def test_train_step_pixels():
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
+def test_frame_stacking_pixels():
+    """Frame stacking (round 5): K=2 stacked pixel rollout trains, the
+    buffer threads through TrainState, eval runs the same stacking, and a
+    legacy (pre-frames-field) checkpoint template still restores."""
+    from multi_car_racing_tpu.learner import evaluate as ev
+
+    env_cfg = C.EnvConfig(num_agents=1, velocity_iters=4, position_iters=2)
+    ppo_cfg = ppo.PPOConfig(
+        rollout_len=2, num_envs=2, pool_size=2, minibatches=1, epochs=1,
+        obs_type="pixels", frame_stack=2, action_repeat=2,
+        train_step_cost=0.05, train_step_cost_start=1, train_step_cost_ramp=2,
+    )
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    assert ts.frames.shape == (2, 1, 96, 96, 3) and ts.frames.dtype == jnp.uint8
+    # network input channels = 3 * K
+    kernel = ts.params["params"]["PixelTorso_0"]["Conv_0"]["kernel"]
+    assert kernel.shape[2] == 6
+    train_step = jax.jit(ppo.make_train_step(env_cfg, ppo_cfg))
+    ts2, metrics = train_step(ts)
+    assert np.isfinite(float(metrics["loss"]))
+    # buffer advanced: after a rollout with moving cars it is not all-zero
+    assert int(jnp.sum(ts2.frames)) > 0
+    out = ev.make_eval_fn(env_cfg, ppo_cfg, 2)(
+        ts2.params, ts2.obs_rms, jax.random.PRNGKey(1)
+    )
+    s = ev.summarize(out)
+    assert np.isfinite(s["eval_return"])
+
+
+def test_checkpoint_restore_legacy_template(tmp_path):
+    """A checkpoint saved WITHOUT the frames field (simulating a round-4
+    artifact) restores into the current TrainState when frames is None."""
+    import dataclasses
+
+    from multi_car_racing_tpu import checkpoint
+
+    env_cfg, ppo_cfg = _tiny_cfgs(n_envs=2)
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    assert ts.frames is None
+    # Save the on-disk shape a round-4 TrainState had: a dict without frames.
+    legacy = {f.name: getattr(ts, f.name)
+              for f in dataclasses.fields(ts) if f.name != "frames"}
+    checkpoint.save(str(tmp_path / "ck"), legacy)
+    ts2 = checkpoint.restore(str(tmp_path / "ck"), ts)
+    assert ts2.frames is None
+    np.testing.assert_array_equal(np.asarray(ts2.key), np.asarray(ts.key))
+
+
 def test_checkpoint_restore_across_lr_configs(tmp_path):
     """A checkpoint from an --anneal-lr run restores into a constant-lr run
     (fine-tune phases routinely change the lr config). The optimizer always
