@@ -132,14 +132,21 @@ def pixel_observation_batched(cfg, state) -> jnp.ndarray:
     from .parallel import mesh as pmesh
     from .render import raster
 
+    import os
+
     am = pmesh.ambient_mesh()
     E = state.reward.shape[0]
     if am is not None and E % am.size != 0:
         am = None          # shard_map needs even shards; fall back to XLA
-    if jax.default_backend() == "tpu" and (jax.device_count() == 1 or am is not None):
+    # MCR_RASTER=pallas forces the Pallas kernel path off-TPU (interpret
+    # mode) — used by the full-fidelity multichip dryrun so the production
+    # rasterizer crosses the shard_map seam on the virtual CPU mesh.
+    force_pallas = os.environ.get("MCR_RASTER", "") == "pallas"
+    on_tpu = jax.default_backend() == "tpu"
+    if (on_tpu or force_pallas) and (jax.device_count() == 1 or am is not None):
         from .render import pallas_raster
 
-        fn = partial(pallas_raster.render_pixels, cfg)
+        fn = partial(pallas_raster.render_pixels, cfg, interpret=not on_tpu)
         if am is not None:
             fn = pmesh.shard_leading(fn, am)
         return fn(state)
