@@ -345,11 +345,18 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
             # MCR_PARTITION_CAP (0 disables).
             shard_e = axis_size // (am.size if am is not None else 1)
             cap = 0
+            cap2 = 0
             pair_cap = 0
             coupled_cap = 0
             if shard_e >= 2048:
                 if n == 2:
                     cap = shard_e // 4
+                    # Second tier for policy-driven pack traffic (~52%
+                    # broadphase-near measured with the trained 2-agent
+                    # checkpoint): overflowing E/4 partitions at E/2
+                    # instead of falling back to the full kernel on all E
+                    # (docs/PERF.md "Policy-driven workload").
+                    cap2 = shard_e // 2
                 elif n >= 3:
                     # PAIR-level partition: only 7.8% of N=4 car pairs are
                     # broadphase-near under random actions (1.07 per near
@@ -362,6 +369,7 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
                     pair_cap = shard_e // 2
                     coupled_cap = max(256, shard_e // 16)
             cap = int(os.environ.get("MCR_PARTITION_CAP", cap))
+            cap2 = int(os.environ.get("MCR_PARTITION_CAP2", cap2))
             pair_cap = int(os.environ.get("MCR_PAIR_CAP", pair_cap))
             coupled_cap = int(os.environ.get("MCR_COUPLED_CAP", coupled_cap))
 
@@ -372,6 +380,7 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
                     position_iters=position_iters,
                     interpret=interpret,
                     partition_cap=cap,
+                    partition_cap2=cap2,
                     pair_partition_cap=pair_cap,
                     coupled_cap=coupled_cap,
                 )

@@ -1279,6 +1279,7 @@ def step_physics_batched(
     interpret: bool = False,
     force_no_contacts: bool = False,
     partition_cap: int = 0,
+    partition_cap2: int = 0,
     pair_partition_cap: int = 0,
     coupled_cap: int = 0,
 ):
@@ -1300,6 +1301,15 @@ def step_physics_batched(
     a lax.cond falls back to the full kernel on the whole batch — results
     are exact either way (Box2D likewise only dispatches
     broadphase-surviving pairs to its narrow phase/solver).
+
+    ``partition_cap2`` > ``partition_cap`` adds a second tier: when the
+    near count overflows the first cap but fits the second, the partition
+    runs at the bigger cap instead of falling all the way back to the
+    full kernel. This is the workload-matched default for trained
+    policies — pack racing measures ~52% broadphase-near envs
+    (docs/PERF.md "Policy-driven workload"), which overflowed the single
+    E/4 cap on most steps and cost a 33% throughput cliff with no env-var
+    tuning to save it. Compiles one extra full-kernel variant.
 
     ``pair_partition_cap`` > 0 (N >= 3 only) enables the finer PAIR-level
     partition: each broadphase-near car PAIR whose env has no car in two
@@ -1332,43 +1342,56 @@ def step_physics_batched(
         return _unpack_outputs(cars, outs)
 
     if partition_cap and N > 1 and not force_no_contacts and E > partition_cap:
-        cap = partition_cap
         near = near_flags(cars, N)
+        n_near = jnp.sum(near)
 
-        def fast(packed):
-            # Compact the broadphase-positive envs into `cap` slots with a
-            # cumsum + one (E,)-int32 scatter. The partition operates on the
-            # 9 packed env-minor kernel inputs / 8 outputs — NOT the CarState
-            # pytree — so routing is ~17 last-axis gathers/scatters instead
-            # of ~80 (a stable argsort over E plus full-tree routing measured
-            # ~1.3 ms/step of pure overhead at E=4096; docs/PERF.md).
-            pos = jnp.cumsum(near) - 1
-            slot = jnp.where(near, pos, cap).astype(jnp.int32)
-            sub = jnp.zeros((cap,), jnp.int32).at[slot].set(
-                jnp.arange(E, dtype=jnp.int32), mode="drop"
-            )
-            sub_out = _call_packed(
-                tuple(x[..., sub] for x in packed), N, cap, mm,
-                force_no_contacts=False, **kw,
-            )
-            all_out = _call_packed(
-                packed, N, E, mm, force_no_contacts=True, **kw
-            )
-            # Unconditional scatter is exact: a broadphase-negative env in
-            # the (padded) sub-batch produces bit-equal results to the
-            # joints-only kernel (all its contact ops add exact zeros), and
-            # duplicate pad slots (unused entries point at env 0) write
-            # identical values.
-            return tuple(
-                a.at[..., sub].set(b) for a, b in zip(all_out, sub_out)
-            )
+        def make_fast(cap):
+            def fast(packed):
+                # Compact the broadphase-positive envs into `cap` slots with
+                # a cumsum + one (E,)-int32 scatter. The partition operates
+                # on the 9 packed env-minor kernel inputs / 8 outputs — NOT
+                # the CarState pytree — so routing is ~17 last-axis
+                # gathers/scatters instead of ~80 (a stable argsort over E
+                # plus full-tree routing measured ~1.3 ms/step of pure
+                # overhead at E=4096; docs/PERF.md).
+                pos = jnp.cumsum(near) - 1
+                slot = jnp.where(near, pos, cap).astype(jnp.int32)
+                sub = jnp.zeros((cap,), jnp.int32).at[slot].set(
+                    jnp.arange(E, dtype=jnp.int32), mode="drop"
+                )
+                sub_out = _call_packed(
+                    tuple(x[..., sub] for x in packed), N, cap, mm,
+                    force_no_contacts=False, **kw,
+                )
+                all_out = _call_packed(
+                    packed, N, E, mm, force_no_contacts=True, **kw
+                )
+                # Unconditional scatter is exact: a broadphase-negative env
+                # in the (padded) sub-batch produces bit-equal results to
+                # the joints-only kernel (all its contact ops add exact
+                # zeros), and duplicate pad slots (unused entries point at
+                # env 0) write identical values.
+                return tuple(
+                    a.at[..., sub].set(b) for a, b in zip(all_out, sub_out)
+                )
+
+            return fast
 
         def slow(packed):
             return _call_packed(
                 packed, N, E, mm, force_no_contacts=False, **kw
             )
 
-        outs = jax.lax.cond(jnp.sum(near) <= cap, fast, slow, packed)
+        caps = [partition_cap]
+        if partition_cap2 > partition_cap and E > partition_cap2:
+            caps.append(partition_cap2)
+
+        branch = slow
+        for cap in reversed(caps):
+            def branch(packed, _f=make_fast(cap), _nxt=branch, _cap=cap):
+                return jax.lax.cond(n_near <= _cap, _f, _nxt, packed)
+
+        outs = branch(packed)
     else:
         outs = _call_packed(
             packed, N, E, mm, force_no_contacts=force_no_contacts, **kw

@@ -251,6 +251,40 @@ def test_partition_mixed_and_overflow_exact():
                       tol=1e-6)
 
 
+def test_partition_second_tier_exact():
+    """Dual-cap partition (round 5, policy-workload cliff): a near count
+    that overflows cap1 but fits cap2 must route through the second-tier
+    partition and equal the full kernel; overflowing both falls back."""
+    N = 4
+    touch = _touching_state(N)
+    far = _batched_state(N, 1, steps=3, gas=0.4, steer=0.0)
+    far1 = jax.tree_util.tree_map(lambda x: x[0], far)
+    st = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, a, b, b]), touch, far1
+    )
+    near = _near_host(st.cars, N)
+    assert near[0] and near[1] and not near[2:].any()
+    full = pallas_world.step_physics_batched(
+        st.cars, st.wheel_on_road, st.contacts, N,
+        velocity_iters=VI, position_iters=PI, interpret=True)
+    for cap1, cap2 in ((1, 2), (1, 3), (1, 0)):  # tier-2 exact fit, padded,
+        part = pallas_world.step_physics_batched(  # and both-overflow
+            st.cars, st.wheel_on_road, st.contacts, N,
+            velocity_iters=VI, position_iters=PI, interpret=True,
+            partition_cap=cap1, partition_cap2=cap2)
+        # 5e-5: CPU interpret's SIMD tail-lane transcendental wobble across
+        # the differing sub-batch widths, amplified through the 28-iteration
+        # contact solve of TWO touching envs (the single-near-env test above
+        # holds 1e-6); TPU lane-uniform agreement is pinned by
+        # scripts/tpu_checks.py.
+        for f in FIELDS + ("spin", "phase", "fuel_spent"):
+            _assert_close(f, getattr(full[0], f), getattr(part[0], f),
+                          tol=5e-5)
+        assert bool((full[2].ids == part[2].ids).all())
+        _assert_close("normal_imp", full[2].normal_imp, part[2].normal_imp,
+                      tol=5e-5)
+
+
 def test_degenerate_multipoint_contact_converges():
     """Regression fixture for the round-4 NaN: a head-on 2-car state with 5
     simultaneous contact points across several fixture-pair manifolds. On
