@@ -1363,9 +1363,7 @@ def step_physics_batched(
                     tuple(x[..., sub] for x in packed), N, cap, mm,
                     force_no_contacts=False, **kw,
                 )
-                all_out = _call_packed(
-                    packed, N, E, mm, force_no_contacts=True, **kw
-                )
+                all_out = _joints_only_call(packed, N, E, mm, **kw)
                 # Unconditional scatter is exact: a broadphase-negative env
                 # in the (padded) sub-batch produces bit-equal results to
                 # the joints-only kernel (all its contact ops add exact
@@ -1392,6 +1390,8 @@ def step_physics_batched(
                 return jax.lax.cond(n_near <= _cap, _f, _nxt, packed)
 
         outs = branch(packed)
+    elif force_no_contacts or N == 1:
+        outs = _joints_only_call(packed, N, E, mm, **kw)
     else:
         outs = _call_packed(
             packed, N, E, mm, force_no_contacts=force_no_contacts, **kw
@@ -1438,7 +1438,7 @@ def _pair_partition_step(cars, packed, N, E, mm, pcap, ccap, kw):
     n_coup = jnp.sum(coupled)
 
     def fast(packed):
-        all_out = _call_packed(packed, N, E, mm, force_no_contacts=True, **kw)
+        all_out = _joints_only_call(packed, N, E, mm, **kw)
 
         # --- (2) pair sub-batch through the 2-car kernel.
         flags = jnp.reshape(jnp.transpose(elig), (-1,))   # (P*E,) p*E + e
@@ -1543,6 +1543,51 @@ def _pack_inputs(cars, wheel_on_road, contact_state, N, E, mm):
             pids_in, pimp_in)
 
 
+def _joints_only_call(packed, N, E, mm, **kw):
+    """Joints-only kernel dispatch: full-sublane flat layout by default,
+    MCR_JOINTS_FLAT=0 keeps the (N, E)-plane layout for A/B timing."""
+    if os.environ.get("MCR_JOINTS_FLAT", "1") == "0":
+        return _call_packed(packed, N, E, mm, force_no_contacts=True, **kw)
+    return _call_packed_flat(packed, N, E, mm, **kw)
+
+
+def _call_packed_flat(packed, N, E, mm, **kw):
+    """Joints-only mega-kernel call in FULL-SUBLANE layout.
+
+    The joints-only island (the partition's base kernel, and the whole
+    N=1 solver) is 100% elementwise over the (car, env) plane — no op
+    mixes rows — so the plane layout is free to choose. The natural
+    (N, E) layout occupies only N of 8 sublanes per vreg (a 4x vector-op
+    inflation at N=2, the docs/PERF.md "Solver roofline" gap (a)). This
+    wrapper reshapes every packed input's trailing (A, E) dims to
+    (A*8/N, N*E/8) row-major OUTSIDE the kernel (an XLA relayout of a few
+    MB), runs the identical kernel with full 8-sublane vregs, and
+    reshapes the outputs back — bit-exact by construction, since every
+    element sees the same arithmetic at a different vreg position.
+    Falls back to the plain call when the reshape doesn't divide."""
+    S = 8
+    eb = _grid_eb(E, mm)[1]
+    if (N * E) % S or (eb * N) % S:
+        return _call_packed(packed, N, E, mm, force_no_contacts=True, **kw)
+    EF = N * E // S
+    mmf = mm * E // EF
+
+    def rflat(x):
+        a = x.shape[-2]
+        return jnp.reshape(x, x.shape[:-2] + (a * E // EF, EF))
+
+    outs = _call_packed(
+        tuple(rflat(x) for x in packed), S, EF, mmf,
+        force_no_contacts=True, **kw,
+    )
+    back = (N, N, N, N, N, N, mm, mm)
+
+    def unflat(x, a):
+        return jnp.reshape(x, x.shape[:-2] + (a, E))
+
+    return tuple(unflat(o, a) for o, a in zip(outs, back))
+
+
 def _call_packed(packed, N, E, mm, *, velocity_iters, position_iters,
                  contact_velocity_iters, contact_position_iters, dt,
                  interpret, force_no_contacts):
@@ -1550,7 +1595,7 @@ def _call_packed(packed, N, E, mm, *, velocity_iters, position_iters,
     (hull_in, wheel_in, tire_in, fuel_in, onroad_in, jnt_in, ls_in,
      pids_in, pimp_in) = packed
     f32 = jnp.float32
-    if N > 1:
+    if N > 1 and not force_no_contacts:
         ct = _collide_tables(N)
         ctbls = [
             jnp.asarray(ct["lvx"]), jnp.asarray(ct["lvy"]),
@@ -1570,7 +1615,10 @@ def _call_packed(packed, N, E, mm, *, velocity_iters, position_iters,
     grid, eb = _grid_eb(E, mm)
     mem = pltpu.VMEM if not interpret else pltpu.ANY
     bspec, cspec = _specs(eb, mem)
-    tbls = _contact_tbls(N, f32)
+    # force_no_contacts never reads the collide/contact tables — ship (1,1)
+    # dummies instead of DMA'ing the full constant tables to every program.
+    tbls = (_contact_tbls(N, f32) if N > 1 and not force_no_contacts
+            else [jnp.zeros((1, 1), f32)] * 5)
 
     return pl.pallas_call(
         kern,

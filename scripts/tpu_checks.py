@@ -65,7 +65,52 @@ def main():
         "precision regressed (see pallas_world._dot/_dot2)")
 
     _pair_partition_check()
+    _joints_flat_check()
     print("tpu_checks ok")
+
+
+def _joints_flat_check():
+    """COMPILED full-sublane flat layout vs the (N, E)-plane layout of the
+    joints-only kernel (round-5 solver layout work): a pure relayout must
+    be bit-exact on hardware too — any deviation means Mosaic lowered the
+    two layouts to different arithmetic."""
+    from multi_car_racing_tpu import config as C, env as tenv, seeding
+    from multi_car_racing_tpu.physics import pallas_world, state as pstate
+
+    N, E = 2, 256
+    cfg = C.EnvConfig(num_agents=N, solver="xla")
+    states = [
+        tenv.host_reset(cfg, seed=s, global_stream=seeding.GlobalStream(s))[0]
+        for s in range(8)
+    ]
+    st = jax.tree_util.tree_map(
+        lambda *xs: jnp.tile(jnp.stack(xs), (E // 8,) + (1,) * xs[0].ndim),
+        *states,
+    )
+    a = jnp.tile(jnp.asarray([[0.3, 0.9, 0.0]], jnp.float32), (E, N, 1))
+    cars = jax.vmap(pstate.apply_controls)(st.cars, a)
+
+    def run():
+        out = pallas_world.step_physics_batched(
+            cars, st.wheel_on_road, st.contacts, N,
+            velocity_iters=180, position_iters=60, interpret=False,
+            force_no_contacts=True)
+        return jax.block_until_ready(out)
+
+    os.environ["MCR_JOINTS_FLAT"] = "0"
+    try:
+        base = run()
+    finally:
+        os.environ.pop("MCR_JOINTS_FLAT")
+    flat = run()
+    worst = 0.0
+    for f in ("hull_c", "hull_a", "hull_v", "wheel_c", "wheel_v", "spin"):
+        a_, b_ = np.asarray(getattr(base[0], f)), np.asarray(getattr(flat[0], f))
+        worst = max(worst, float(np.abs(a_ - b_).max()))
+    print(f"joints-flat compiled max dev vs plane layout: {worst:.2e}")
+    assert worst == 0.0, (
+        f"flat joints layout deviates {worst} from the plane layout on "
+        "hardware — relayout is no longer a pure relayout")
 
 
 def _pair_partition_check():

@@ -251,6 +251,32 @@ def test_partition_mixed_and_overflow_exact():
                       tol=1e-6)
 
 
+def test_joints_flat_layout_exact():
+    """Full-sublane flat layout of the joints-only kernel (round-5 solver
+    layout work): pure relayout, must equal the (N, E)-plane layout
+    BIT-exactly — same arithmetic at different vreg positions — for both
+    the N=1 solver and the partition's joints-only base."""
+    import os
+
+    for N, E in ((1, 8), (2, 4)):
+        st = _batched_state(N, E, steps=3, gas=0.5, steer=0.1)
+        kw = dict(velocity_iters=VI, position_iters=PI, interpret=True)
+        os.environ["MCR_JOINTS_FLAT"] = "0"
+        try:
+            base = pallas_world.step_physics_batched(
+                st.cars, st.wheel_on_road, st.contacts, N,
+                force_no_contacts=True, **kw)
+        finally:
+            os.environ.pop("MCR_JOINTS_FLAT")
+        flat = pallas_world.step_physics_batched(
+            st.cars, st.wheel_on_road, st.contacts, N,
+            force_no_contacts=True, **kw)
+        for f in FIELDS + ("spin", "phase", "fuel_spent"):
+            a, b = np.asarray(getattr(base[0], f)), np.asarray(getattr(flat[0], f))
+            np.testing.assert_array_equal(a, b, err_msg=f"{N=} {f}")
+        np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(flat[1]))
+
+
 def test_partition_second_tier_exact():
     """Dual-cap partition (round 5, policy-workload cliff): a near count
     that overflows cap1 but fits cap2 must route through the second-tier
