@@ -52,37 +52,50 @@ def main():
     ap.add_argument("--max-steps", type=int, default=1000)
     args = ap.parse_args()
 
-    self_rows, eng_rows = [], []
-    with open(args.out, "w") as fs, open(args.engine_out, "w") as fe:
+    # Resume-safe: rows already on disk (from a previous partial run) are
+    # kept and skipped — the sweep can be relaunched after a crash.
+    import os
+
+    def load(path):
+        rows = []
+        if os.path.exists(path):
+            with open(path) as f:
+                rows = [json.loads(ln) for ln in f if ln.strip()]
+        return rows
+
+    self_rows, eng_rows = load(args.out), load(args.engine_out)
+    have_self = {(r["num_agents"], r["direction"], r["seed"])
+                 for r in self_rows}
+    have_eng = {(r["num_agents"], r["direction"], r["seed"])
+                for r in eng_rows}
+    with open(args.out, "a") as fs, open(args.engine_out, "a") as fe:
         for n in args.agents:
             for d in args.directions:
                 for s in range(args.seeds):
                     seed, gseed = 100 + s, 200 + s
-                    t0 = time.time()
-                    row = ep.reference_self_divergence(
-                        n, seed, gseed, d, max_steps=args.max_steps,
-                        perturb=args.perturb,
-                    )
-                    row["wall_s"] = round(time.time() - t0, 1)
-                    self_rows.append(row)
-                    fs.write(json.dumps(row) + "\n")
-                    fs.flush()
-                    t0 = time.time()
-                    erow = ep.compare_episode(
-                        n, seed=seed, gseed=gseed, direction=d,
-                        max_steps=args.max_steps,
-                    )
-                    erow["wall_s"] = round(time.time() - t0, 1)
-                    eng_rows.append(erow)
-                    fe.write(json.dumps(erow) + "\n")
-                    fe.flush()
-                    print(
-                        f"n={n} {d} seed={seed}: self_drift "
-                        f"{row['total_drift']:.1f} engine_drift "
-                        f"{erow['total_drift']:.1f} "
-                        f"({row['wall_s']}+{erow['wall_s']}s)",
-                        flush=True,
-                    )
+                    if (n, d, seed) in have_self and (n, d, seed) in have_eng:
+                        continue
+                    if (n, d, seed) not in have_self:
+                        t0 = time.time()
+                        row = ep.reference_self_divergence(
+                            n, seed, gseed, d, max_steps=args.max_steps,
+                            perturb=args.perturb,
+                        )
+                        row["wall_s"] = round(time.time() - t0, 1)
+                        self_rows.append(row)
+                        fs.write(json.dumps(row) + "\n")
+                        fs.flush()
+                    if (n, d, seed) not in have_eng:
+                        t0 = time.time()
+                        erow = ep.compare_episode(
+                            n, seed=seed, gseed=gseed, direction=d,
+                            max_steps=args.max_steps,
+                        )
+                        erow["wall_s"] = round(time.time() - t0, 1)
+                        eng_rows.append(erow)
+                        fe.write(json.dumps(erow) + "\n")
+                        fe.flush()
+                    print(f"n={n} {d} seed={seed}: done", flush=True)
 
     print("\n## Chaos floor vs engine drift "
           f"({args.seeds} seeds x {args.directions}, perturb "
