@@ -358,16 +358,17 @@ def _make_solver(num_agents: int, velocity_iters: int, position_iters: int,
                     # (docs/PERF.md "Policy-driven workload").
                     cap2 = shard_e // 2
                 elif n >= 3:
-                    # PAIR-level partition: only 7.8% of N=4 car pairs are
-                    # broadphase-near under random actions (1.07 per near
-                    # env — scripts/bench_extras.py nearpairs), so routing
-                    # near PAIRS through the 2-car kernel (48 manifold
-                    # rows/slot) beats gathering whole envs through the
-                    # full N-car kernel (P*48 rows). Coupled envs (a car
-                    # in >=2 near pairs) still need the full kernel; they
-                    # are rare, so their sub-batch is small.
-                    pair_cap = shard_e // 2
-                    coupled_cap = max(256, shard_e // 16)
+                    # Env-level partition at E/2 — the MEASURED round-5
+                    # winner. The pair-level partition (route near car
+                    # PAIRS through the 2-car kernel) was projected to cut
+                    # routing work ~5x, but on hardware it LOSES to the
+                    # plain env partition at both N=3 (310k vs 418k) and
+                    # N=4 (232k vs 253k env-steps/s at E=4096): the
+                    # flattened (mm*E)/(N*E) pair gathers cost more than
+                    # the kernel work they save (docs/PERF.md round-5
+                    # note). Pair partitioning stays available via
+                    # MCR_PAIR_CAP/MCR_COUPLED_CAP for re-measurement.
+                    cap = shard_e // 2
             cap = int(os.environ.get("MCR_PARTITION_CAP", cap))
             cap2 = int(os.environ.get("MCR_PARTITION_CAP2", cap2))
             pair_cap = int(os.environ.get("MCR_PAIR_CAP", pair_cap))

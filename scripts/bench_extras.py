@@ -251,34 +251,45 @@ def satbench():
         _ = float(jax.tree_util.tree_leaves(out)[0].sum())  # host read
         return (time.time() - t0) / T * 1e3
 
-    def sat_body(c, _):
+    # Dependency-chaining trap (found round 5): threading a per-env (E,)
+    # reduction of the output back into the carry state made XLA compile a
+    # ~200x-slower program (208 ms/step) than the identical computation
+    # chained through a single scalar (0.98 ms/step, which matches the
+    # whole-step budget). Chain through ONE scalar.
+    def sat_body(carry, _):
+        c, acc = carry
         ov = jax.vmap(overlap.wheel_tile_overlap)(c, track)
-        dx = jnp.sum(ov, axis=(1, 2, 3)).astype(jnp.float32) * 1e-9
-        return c.replace(wheel_c=c.wheel_c + dx[:, None, None, None]), ()
+        s = jnp.sum(ov).astype(jnp.float32)
+        c = c.replace(wheel_c=c.wheel_c + s * 1e-12)
+        return (c, acc + s), ()
 
-    ms = time_scan(sat_body, cars)
+    ms = time_scan(sat_body, (cars, jnp.float32(0)))
     print(f"satbench: wheel_tile_overlap alone {ms:.3f} ms/step at {E}x{N}")
 
-    tp = tenv._make_track_pass(N, "auto", False)
+    # The track pass is a custom_vmap function: call it through jax.vmap so
+    # the batching rule dispatches (a direct batched call runs the
+    # unbatched body and shape-errors).
+    tp = jax.vmap(tenv._make_track_pass(N, "auto", False),
+                  in_axes=(0, 0, 0, 0, 0))
 
     def track_body(carry, _):
-        c, visited, touched = carry
+        c, visited, touched, acc = carry
         wor, new_vis, bonus, cnt, new_touch, nearest_beta, on_grass = tp(
             track, c, c.hull_origin, visited, touched
         )
         # chain EVERY output so nothing is dead-code-eliminated
-        dx = (
-            jnp.sum(wor, axis=(1, 2)).astype(jnp.float32)
-            + bonus.sum(-1) + cnt.sum(-1).astype(jnp.float32)
-            + nearest_beta.sum(-1) + on_grass.sum(-1).astype(jnp.float32)
-            + new_touch.sum(-1).astype(jnp.float32)
-        ) * 1e-9
-        return (c.replace(wheel_c=c.wheel_c + dx[:, None, None, None]),
-                new_vis, new_touch), ()
+        s = (
+            jnp.sum(wor).astype(jnp.float32)
+            + bonus.sum() + cnt.sum().astype(jnp.float32)
+            + nearest_beta.sum() + on_grass.sum().astype(jnp.float32)
+            + new_touch.sum().astype(jnp.float32)
+        )
+        return (c.replace(wheel_c=c.wheel_c + s * 1e-12),
+                new_vis, new_touch, acc + s), ()
 
     visited = jnp.zeros((E, N, cfg.max_tiles), bool)
     touched = jnp.zeros((E, cfg.max_tiles), bool)
-    ms2 = time_scan(track_body, (cars, visited, touched))
+    ms2 = time_scan(track_body, (cars, visited, touched, jnp.float32(0)))
     print(f"satbench: full track-pass stage {ms2:.3f} ms/step")
 
 if __name__ == "__main__":
