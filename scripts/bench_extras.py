@@ -244,8 +244,13 @@ def satbench():
 
     def time_scan(fn, init):
         run = jax.jit(lambda c: jax.lax.scan(fn, c, None, length=T)[0])
+        # Warm up with a HOST READ, not block_until_ready: over the axon
+        # tunnel block_until_ready can acknowledge at enqueue, and the
+        # first real execution pays a one-shot ~10 s deferred upload of the
+        # closure-captured track tables — which previously landed inside
+        # the timed call and inflated the figure 100x (round-5 ledger).
         out = run(init)
-        jax.block_until_ready(out)
+        _ = float(jax.tree_util.tree_leaves(out)[0].sum())
         t0 = time.time()
         out = run(init)
         _ = float(jax.tree_util.tree_leaves(out)[0].sum())  # host read
